@@ -1,0 +1,127 @@
+"""The public builder API: configure, then build a transform.
+
+Mirrors the reference's ``TransformBuilder`` surface
+(/root/reference/src/lib.rs:864-1065): chainable setters, water-level
+validation (``BuildErr``), and ``build_merging`` / ``build_segmenting``
+producing the two transform objects.  The reference's compile-time cargo
+features map to runtime switches (``enable_progress`` / ``enable_debug``;
+plots activate when a folder is set, matching the reference's "no folder, no
+plots" behaviour, src/lib.rs:987-994).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from .constants import ALWAYS_FILL, NORMAL_MAX
+from .models.base import HookCtx
+from .models.merging import MergingWatershed
+from .models.segmenting import SegmentingWatershed
+
+
+class BuildErr(Exception):
+    """Configuration error raised by build_* (src/lib.rs:1049-1065)."""
+
+    MAX_TOO_HIGH = "MaxToHigh"
+    MAX_TOO_LOW = "MaxToLow"
+
+    def __init__(self, kind: str, max_water_level: int):
+        self.kind = kind
+        self.max_water_level = max_water_level
+        if kind == self.MAX_TOO_HIGH:
+            msg = (
+                f"Maximum water level set to {max_water_level}, which is higher "
+                f"than the maximum allowed value {NORMAL_MAX}"
+            )
+        else:
+            msg = (
+                f"Maximum water level set to {max_water_level}, which is lower "
+                f"than the minimum allowed value {ALWAYS_FILL + 1}"
+            )
+        super().__init__(msg)
+
+
+class TransformBuilder:
+    """Chainable configuration for a watershed transform."""
+
+    def __init__(self):
+        self.max_water_level = NORMAL_MAX
+        self.edge_correction = False
+        self.wlvl_hook: Optional[Callable[[HookCtx], Any]] = None
+        self.plot_path = None
+        self.plot_colour_map = None
+        self.progress = False
+        self.debug = False
+        self.sweep_fn = None
+
+    # ``new()`` and ``default()`` both exist in the reference purely to work
+    # around Rust type inference (src/lib.rs:875-892); kept as aliases.
+    @classmethod
+    def new(cls) -> "TransformBuilder":
+        return cls()
+
+    @classmethod
+    def default(cls) -> "TransformBuilder":
+        return cls()
+
+    def set_max_water_lvl(self, max_water_lvl: int) -> "TransformBuilder":
+        self.max_water_level = int(max_water_lvl)
+        return self
+
+    def enable_edge_correction(self) -> "TransformBuilder":
+        self.edge_correction = True
+        return self
+
+    def set_wlvl_hook(self, hook: Callable[[HookCtx], Any]) -> "TransformBuilder":
+        self.wlvl_hook = hook
+        return self
+
+    def set_plot_colour_map(self, colour_map) -> "TransformBuilder":
+        self.plot_colour_map = colour_map
+        return self
+
+    def set_plot_folder(self, path) -> "TransformBuilder":
+        self.plot_path = path
+        return self
+
+    def enable_progress(self) -> "TransformBuilder":
+        """Runtime equivalent of the reference's ``progress`` cargo feature."""
+        self.progress = True
+        return self
+
+    def enable_debug(self) -> "TransformBuilder":
+        """Runtime equivalent of the reference's ``debug`` cargo feature."""
+        self.debug = True
+        return self
+
+    def set_sweep_impl(self, sweep_fn) -> "TransformBuilder":
+        """Advanced: override the flood-sweep kernel (e.g. the Pallas
+        multi-step kernel); must be semantically >= 1 Jacobi sweeps."""
+        self.sweep_fn = sweep_fn
+        return self
+
+    def _validate(self):
+        if self.max_water_level > NORMAL_MAX:
+            raise BuildErr(BuildErr.MAX_TOO_HIGH, self.max_water_level)
+        if self.max_water_level <= ALWAYS_FILL:
+            raise BuildErr(BuildErr.MAX_TOO_LOW, self.max_water_level)
+
+    def _kwargs(self):
+        return dict(
+            max_water_level=self.max_water_level,
+            edge_correction=self.edge_correction,
+            wlvl_hook=self.wlvl_hook,
+            plot_path=self.plot_path,
+            plot_colour_map=self.plot_colour_map,
+            progress=self.progress,
+            debug=self.debug,
+            sweep_fn=self.sweep_fn,
+        )
+
+    def build_merging(self) -> MergingWatershed:
+        self._validate()
+        return MergingWatershed(**self._kwargs())
+
+    def build_segmenting(self) -> SegmentingWatershed:
+        self._validate()
+        return SegmentingWatershed(**self._kwargs())

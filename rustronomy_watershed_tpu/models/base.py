@@ -1,0 +1,300 @@
+"""Shared driver logic for the segmenting / merging watershed transforms.
+
+Mirrors the reference's ``Watershed`` trait surface
+(/root/reference/src/lib.rs:1206-1238): ``transform``,
+``transform_with_hook``, ``transform_to_list``, ``transform_history`` — plus
+the ``WatershedUtils`` mixin (src/lib.rs:1069-1201).
+
+Two execution paths with identical numerics:
+
+* **Fast path** (no hook / plots / progress / debug): the entire level sweep
+  is one jitted device program (ops.level_driver.run_levels); per-level
+  statistics are accumulated on-device.
+* **Hook path**: levels are stepped from the host (one jitted ``level_step``
+  per level) so arbitrary Python hooks receive a ``HookCtx`` view each level,
+  like the reference's ``fn(HookCtx) -> T`` hooks (src/lib.rs:1509-1518).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import ALWAYS_FILL, NORMAL_MAX, UNCOLOURED
+from ..ops.level_driver import level_step, run_levels
+from ..ops.preprocess import pre_process
+from ..ops.seeds import local_extrema_mask, paint_seeds
+from ..utils.perf import PerfReport
+from ..utils.progress import ProgressBar
+
+
+@dataclasses.dataclass(frozen=True)
+class HookCtx:
+    """Per-water-level context handed to hooks (src/lib.rs:843-862).
+
+    ``colours`` is the label image *after* this level's fixed point (and merge
+    phase, for the merging variant); ``seeds`` is the (colour, (y, x)) list
+    with the original colour ids.  Under edge correction the views keep the
+    padded shape, replicating the reference (SURVEY.md Q7).
+    """
+
+    water_level: int
+    max_water_level: int
+    image: np.ndarray
+    colours: np.ndarray
+    seeds: tuple[tuple[int, tuple[int, int]], ...]
+
+
+def _label_bucket(n_seeds: int) -> int:
+    """Static parent/histogram table size: next power of two >= n_seeds + 1.
+
+    Using a padded static bound instead of the exact seed count keeps XLA
+    recompilation to one program per bucket instead of one per image.
+    """
+    n = max(2, n_seeds + 1)
+    return 1 << (n - 1).bit_length()
+
+
+class WatershedUtils:
+    """Image-preparation helpers (src/lib.rs:1069-1201)."""
+
+    def pre_processor(self, img) -> np.ndarray:
+        """Normalise any numeric array to u8 [0, NORMAL_MAX] with the
+        reference's special-value mapping (SURVEY.md Q4)."""
+        return pre_process(img, NORMAL_MAX)
+
+    def pre_processor_with_max(self, img, max_val: int) -> np.ndarray:
+        return pre_process(img, max_val)
+
+    def find_local_minima(self, img, mode: str = "reference") -> list[tuple[int, int]]:
+        """Seed coordinates in row-major order.
+
+        Replicates the reference code: strict local *maxima* by value despite
+        the name (src/lib.rs:1190, SURVEY.md Q1).  Pass ``mode='minima'`` for
+        the documented intent.
+        """
+        mask = np.asarray(local_extrema_mask(jnp.asarray(img), mode=mode))
+        return [tuple(c) for c in np.argwhere(mask)]
+
+
+class _WatershedBase(WatershedUtils):
+    """Common implementation; subclasses set ``_merging``."""
+
+    _merging: bool = False
+
+    def __init__(
+        self,
+        max_water_level: int = NORMAL_MAX,
+        edge_correction: bool = False,
+        wlvl_hook: Optional[Callable[[HookCtx], Any]] = None,
+        plot_path=None,
+        plot_colour_map=None,
+        progress: bool = False,
+        debug: bool = False,
+        sweep_fn=None,
+    ):
+        self.max_water_level = int(max_water_level)
+        self.edge_correction = bool(edge_correction)
+        self.wlvl_hook = wlvl_hook
+        self.plot_path = plot_path
+        self.plot_colour_map = plot_colour_map
+        self.progress = progress
+        self.debug = debug
+        self.sweep_fn = sweep_fn
+
+    # -- construction helpers -------------------------------------------------
+
+    def _clone_with_hook(self, hook):
+        return type(self)(
+            max_water_level=self.max_water_level,
+            edge_correction=self.edge_correction,
+            wlvl_hook=hook,
+            plot_path=self.plot_path,
+            plot_colour_map=self.plot_colour_map,
+            progress=self.progress,
+            debug=self.debug,
+            sweep_fn=self.sweep_fn,
+        )
+
+    def _prepare(self, input_img, seeds):
+        """Apply edge correction + paint seeds (src/lib.rs:1329-1369)."""
+        img = np.asarray(input_img, dtype=np.uint8)
+        if self.edge_correction:
+            # 1-px zero border; zeros are ALWAYS_FILL so the padding floods at
+            # level 0 once it touches a coloured pixel.  Seed coordinates are
+            # painted WITHOUT the +1 shift, replicating the reference quirk
+            # (src/lib.rs:1365-1367, SURVEY.md Q7).
+            img = np.pad(img, 1, constant_values=ALWAYS_FILL)
+        labels0 = paint_seeds(img.shape, seeds)
+        return jnp.asarray(img), labels0
+
+    def _needs_host_loop(self) -> bool:
+        return (
+            self.wlvl_hook is not None
+            or self.plot_path is not None
+            or self.progress
+            or self.debug
+        )
+
+    # -- core API --------------------------------------------------------------
+
+    def transform(self, input_img, seeds) -> np.ndarray:
+        """Final label image.
+
+        Implements the documented intent.  Reference divergence (SURVEY.md
+        Q6): the reference's ``SegmentingWatershed::transform`` panics for
+        ``max_water_level > 0`` (indexes the level-0 hook output) and
+        ``MergingWatershed::transform`` is a constant-123 stub; both are bugs
+        with no useful behaviour to replicate.
+        """
+        img, labels0 = self._prepare(input_img, seeds)
+        labels = run_levels(
+            img,
+            labels0,
+            n_labels=_label_bucket(len(seeds)),
+            max_water_level=self.max_water_level,
+            merging=self._merging,
+            collect="none",
+            sweep_fn=self.sweep_fn,
+        )
+        return np.asarray(labels)
+
+    def transform_with_hook(self, input_img, seeds) -> list:
+        """Run the transform, calling the configured hook each water level;
+        returns the collected hook results (empty if no hook is set), like
+        the reference (src/lib.rs:1509-1521)."""
+        if self.wlvl_hook is None and not self._needs_host_loop():
+            # Nothing observes the levels: run the fast path for side-effect
+            # parity and return the empty collection like the reference.
+            img, labels0 = self._prepare(input_img, seeds)
+            run_levels(
+                img,
+                labels0,
+                n_labels=_label_bucket(len(seeds)),
+                max_water_level=self.max_water_level,
+                merging=self._merging,
+                collect="none",
+                sweep_fn=self.sweep_fn,
+            )
+            return []
+        return self._host_stepped(input_img, seeds)
+
+    def transform_to_list(
+        self, input_img, seeds, counts_length: Optional[int] = None
+    ) -> list[tuple[int, np.ndarray]]:
+        """Per-level lake-size histograms, fully on-device.
+
+        Returns ``[(water_level, counts)]`` where ``counts[label]`` is the
+        pixel count of that label and ``counts[0]`` the uncoloured count.
+        ``counts_length=None`` replicates the reference's ``n_pixels + 1``
+        vector length (src/lib.rs:630, SURVEY.md Q10); pass e.g.
+        ``len(seeds) + 1`` for a compact result.
+        """
+        img, labels0 = self._prepare(input_img, seeds)
+        bucket = _label_bucket(len(seeds))
+        _, sizes = run_levels(
+            img,
+            labels0,
+            n_labels=bucket,
+            max_water_level=self.max_water_level,
+            merging=self._merging,
+            collect="sizes",
+            sweep_fn=self.sweep_fn,
+        )
+        sizes = np.asarray(sizes)
+        if counts_length is None:
+            counts_length = int(np.prod(img.shape)) + 1
+        out = []
+        for lvl in range(self.max_water_level + 1):
+            row = np.zeros(counts_length, dtype=np.int64)
+            k = min(bucket + 1, counts_length)
+            row[:k] = sizes[lvl, :k]
+            out.append((lvl, row))
+        return out
+
+    def transform_history(self, input_img, seeds) -> list[tuple[int, np.ndarray]]:
+        """Per-level label snapshots (src/lib.rs:1233-1237); memory-heavy:
+        (levels, H, W) int32 accumulated on device."""
+        img, labels0 = self._prepare(input_img, seeds)
+        _, hist = run_levels(
+            img,
+            labels0,
+            n_labels=_label_bucket(len(seeds)),
+            max_water_level=self.max_water_level,
+            merging=self._merging,
+            collect="history",
+            sweep_fn=self.sweep_fn,
+        )
+        hist = np.asarray(hist)
+        return [(lvl, hist[lvl]) for lvl in range(self.max_water_level + 1)]
+
+    # -- host-stepped path (hooks / plots / progress / debug) ------------------
+
+    def _host_stepped(self, input_img, seeds) -> list:
+        img, labels = self._prepare(input_img, seeds)
+        bucket = _label_bucket(len(seeds))
+        seed_colours = tuple(
+            (col, (int(y), int(x))) for col, (y, x) in enumerate(seeds, start=1)
+        )
+        img_np = np.asarray(img)
+
+        step = jax.jit(
+            partial(
+                level_step,
+                merging=self._merging,
+                n_labels=bucket,
+                sweep_fn=self.sweep_fn,
+            )
+        )
+
+        bar = ProgressBar(self.max_water_level) if self.progress else None
+        results = []
+        for lvl in range(self.max_water_level + 1):
+            perf = PerfReport() if self.debug else None
+            t0 = time.perf_counter()
+            labels = step(img, labels, jnp.int32(lvl))
+            labels.block_until_ready()
+            if perf is not None:
+                perf.loops = 1
+                perf.big_iter_ms.append(int((time.perf_counter() - t0) * 1e3))
+
+            labels_np = np.asarray(labels)
+            if self.plot_path is not None:
+                self._plot_level(labels_np, lvl)
+            if perf is not None:
+                perf.total_ms = int((time.perf_counter() - t0) * 1e3)
+                print(perf)
+            if bar is not None:
+                bar.inc()
+            if self.wlvl_hook is not None:
+                ctx = HookCtx(
+                    water_level=lvl,
+                    max_water_level=self.max_water_level,
+                    image=img_np,
+                    colours=labels_np,
+                    seeds=seed_colours,
+                )
+                results.append(self.wlvl_hook(ctx))
+        if bar is not None:
+            bar.finish()
+        return results
+
+    def _plot_level(self, labels_np: np.ndarray, lvl: int):
+        from ..utils import plotting
+
+        view = labels_np
+        if self.edge_correction:
+            # Plots are cropped to the unpadded image (src/lib.rs:1476-1481).
+            view = labels_np[1:-1, 1:-1]
+        cmap = self.plot_colour_map or plotting.viridis
+        import os
+
+        plotting.plot_slice(
+            view, os.path.join(str(self.plot_path), f"ws_lvl{lvl}.png"), cmap
+        )

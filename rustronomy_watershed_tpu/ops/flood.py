@@ -1,0 +1,80 @@
+"""Flood (colouring) kernels: one Jacobi sweep and the per-level fixed point.
+
+TPU-native reformulation of the reference's ``find_flooded_px`` + serial paint
+(/root/reference/src/lib.rs:196-257, :1394-1438): instead of collecting a
+dynamic list of pixels and painting them serially, one sweep is a pure
+whole-image 5-point stencil.  A pixel is painted when it is
+
+1. flooded        (``img <= lvl``,                 src/lib.rs:224)
+2. uncoloured     (``labels == UNCOLOURED``,        src/lib.rs:226)
+3. adjacent to a coloured 4-neighbour               (src/lib.rs:228-231)
+4. an interior pixel (window centres only,          src/lib.rs:220-233)
+
+The painted colour is the **minimum** coloured 4-neighbour label.  The
+reference picks a uniformly-random coloured neighbour on ties
+(src/lib.rs:249-253); that is non-deterministic run-to-run, so this rebuild
+pins the documented deterministic tie-break rule *min-label-wins* (SURVEY.md
+Q2).  On tie-free pixels the two rules agree exactly.
+
+One sweep advances the wavefront by exactly one 4-connected ring, preserving
+the reference's plateau-claiming order (SURVEY.md Q3): within a sweep all
+decisions read the label image from the *start* of the sweep (Jacobi), which
+matches the reference's find-then-paint two-phase structure.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import INT32_MAX, UNCOLOURED
+from .stencil import interior_mask, shift4
+
+
+def flood_sweep(img: jnp.ndarray, labels: jnp.ndarray, lvl) -> jnp.ndarray:
+    """One Jacobi flood sweep.  ``img`` int32 (0..255), ``labels`` int32."""
+    up, down, left, right = shift4(labels, UNCOLOURED)
+    # Min nonzero neighbour label; INT32_MAX where a neighbour is uncoloured.
+    big = jnp.int32(INT32_MAX)
+
+    def masked(n):
+        return jnp.where(n != UNCOLOURED, n, big)
+
+    nmin = jnp.minimum(
+        jnp.minimum(masked(up), masked(down)),
+        jnp.minimum(masked(left), masked(right)),
+    )
+    has_coloured = nmin != big
+    cand = (
+        (labels == UNCOLOURED)
+        & (img <= lvl)
+        & has_coloured
+        & interior_mask(labels.shape[-2:])
+    )
+    return jnp.where(cand, nmin, labels)
+
+
+def flood_fixed_point(img: jnp.ndarray, labels: jnp.ndarray, lvl, sweep_fn=None):
+    """Run flood sweeps until no pixel changes (the per-level 'colouring_loop',
+    /root/reference/src/lib.rs:1394-1438).
+
+    ``sweep_fn(img, labels, lvl) -> labels`` may be supplied to swap in an
+    accelerated (Pallas / multi-step) sweep; it must be semantically equal to
+    ``flood_sweep`` iterated >= 1 times (information moves <=1 px per sweep,
+    so any k-step fusion reaches the same fixed point).
+    """
+    if sweep_fn is None:
+        sweep_fn = flood_sweep
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        new = sweep_fn(img, lab, lvl)
+        return new, jnp.any(new != lab)
+
+    # Do-while: always run at least one sweep per level, like the reference.
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True)))
+    return labels

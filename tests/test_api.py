@@ -1,0 +1,159 @@
+"""Public-surface tests: builder validation, hooks, prelude, observability."""
+
+import numpy as np
+import pytest
+
+import rustronomy_watershed_tpu as wst
+from rustronomy_watershed_tpu import BuildErr, TransformBuilder
+from rustronomy_watershed_tpu.prelude import (
+    MergingWatershed,
+    SegmentingWatershed,
+    WatershedUtils,
+    color_maps,
+)
+
+
+def test_constants():
+    assert wst.UNCOLOURED == 0
+    assert wst.NORMAL_MAX == 254
+    assert wst.ALWAYS_FILL == 0
+    assert wst.NEVER_FILL == 255
+
+
+def test_builder_validation():
+    # 0 < max_water_level <= 254 (src/lib.rs:999-1004)
+    with pytest.raises(BuildErr) as e:
+        TransformBuilder.default().set_max_water_lvl(255).build_segmenting()
+    assert e.value.kind == BuildErr.MAX_TOO_HIGH
+    with pytest.raises(BuildErr) as e:
+        TransformBuilder.default().set_max_water_lvl(0).build_merging()
+    assert e.value.kind == BuildErr.MAX_TOO_LOW
+    assert isinstance(
+        TransformBuilder.new().set_max_water_lvl(254).build_merging(), MergingWatershed
+    )
+    assert isinstance(
+        TransformBuilder.default().build_segmenting(), SegmentingWatershed
+    )
+
+
+def test_default_max_water_level():
+    ws = TransformBuilder.default().build_segmenting()
+    assert ws.max_water_level == 254
+
+
+def test_hook_called_every_level(rng):
+    img = rng.integers(0, 8, size=(10, 10)).astype(np.uint8)
+    levels_seen = []
+
+    def hook(ctx):
+        levels_seen.append(ctx.water_level)
+        assert ctx.max_water_level == 6
+        assert ctx.image.shape == img.shape
+        assert ctx.colours.shape == img.shape
+        return int(ctx.colours.max())
+
+    ws = TransformBuilder.new().set_max_water_lvl(6).set_wlvl_hook(hook).build_segmenting()
+    seeds = ws.find_local_minima(img)
+    out = ws.transform_with_hook(img, seeds)
+    assert levels_seen == list(range(7))
+    assert len(out) == 7
+    assert out[-1] <= len(seeds)
+
+
+def test_hook_seeds_have_original_colours(rng):
+    img = rng.integers(0, 8, size=(10, 10)).astype(np.uint8)
+    captured = {}
+
+    def hook(ctx):
+        captured["seeds"] = ctx.seeds
+        return None
+
+    ws = TransformBuilder.new().set_max_water_lvl(2).set_wlvl_hook(hook).build_merging()
+    seeds = ws.find_local_minima(img)
+    ws.transform_with_hook(img, seeds)
+    assert captured["seeds"] == tuple(
+        (i + 1, (y, x)) for i, (y, x) in enumerate(seeds)
+    )
+
+
+def test_no_hook_returns_empty(rng):
+    img = rng.integers(0, 8, size=(10, 10)).astype(np.uint8)
+    ws = TransformBuilder.default().set_max_water_lvl(4).build_segmenting()
+    assert ws.transform_with_hook(img, ws.find_local_minima(img)) == []
+
+
+def test_hook_path_matches_fast_path(rng):
+    img = rng.integers(0, 10, size=(12, 12)).astype(np.uint8)
+    ws = TransformBuilder.default().set_max_water_lvl(9).build_merging()
+    seeds = ws.find_local_minima(img)
+    fast = ws.transform(img, seeds)
+
+    def hook(ctx):
+        return ctx.colours.copy()
+
+    ws2 = TransformBuilder.new().set_max_water_lvl(9).set_wlvl_hook(hook).build_merging()
+    hooked = ws2.transform_with_hook(img, seeds)
+    np.testing.assert_array_equal(fast, hooked[-1])
+
+
+def test_watershed_utils_mixin(rng):
+    ws = TransformBuilder.default().build_segmenting()
+    assert isinstance(ws, WatershedUtils)
+    img = rng.normal(size=(8, 8))
+    u8 = ws.pre_processor(img)
+    assert u8.dtype == np.uint8 and u8.max() <= 255
+    u8b = ws.pre_processor_with_max(img, 127)
+    normal = u8b[u8b != 255]
+    assert normal.max() <= 127
+
+
+def test_plots_written(tmp_path, rng):
+    img = rng.integers(0, 6, size=(9, 9)).astype(np.uint8)
+    ws = (
+        TransformBuilder.default()
+        .set_max_water_lvl(3)
+        .set_plot_folder(tmp_path)
+        .set_plot_colour_map(color_maps.viridis)
+        .build_segmenting()
+    )
+    ws.transform_with_hook(img, ws.find_local_minima(img))
+    for lvl in range(4):
+        p = tmp_path / f"ws_lvl{lvl}.png"
+        assert p.exists() and p.stat().st_size > 0
+        assert p.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_colour_maps_signature():
+    for cmap in (
+        color_maps.grey_scale,
+        color_maps.viridis,
+        color_maps.magma,
+        color_maps.plasma,
+        color_maps.inferno,
+    ):
+        rgb = cmap(5, 0, 10)
+        assert len(rgb) == 3 and all(0 <= v <= 255 for v in rgb)
+        assert cmap(0, 0, 10) == (0, 0, 0)  # count <= min -> NaN colour
+
+
+def test_progress_and_debug_paths(rng, capsys):
+    img = rng.integers(0, 5, size=(8, 8)).astype(np.uint8)
+    ws = (
+        TransformBuilder.default()
+        .set_max_water_lvl(3)
+        .enable_progress()
+        .enable_debug()
+        .build_segmenting()
+    )
+    ws.transform_with_hook(img, ws.find_local_minima(img))
+    captured = capsys.readouterr()
+    assert "Performance Summary" in captured.out
+    assert "water level" in captured.err
+
+
+def test_perf_report_format():
+    from rustronomy_watershed_tpu.utils import PerfReport
+
+    p = PerfReport(big_iter_ms=[2, 4], colouring_mus=[100, 300], loops=2, total_ms=10)
+    s = str(p)
+    assert "Looped 2x" in s and "3.0ms" in s and "200.0µs" in s
