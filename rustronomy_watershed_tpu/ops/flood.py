@@ -31,8 +31,15 @@ from ..constants import INT32_MAX, UNCOLOURED
 from .stencil import interior_mask, shift4
 
 
-def flood_sweep(img: jnp.ndarray, labels: jnp.ndarray, lvl) -> jnp.ndarray:
-    """One Jacobi flood sweep.  ``img`` int32 (0..255), ``labels`` int32."""
+def flood_sweep(img: jnp.ndarray, labels: jnp.ndarray, lvl, mask=None) -> jnp.ndarray:
+    """One Jacobi flood sweep.  ``img`` int32 (0..255), ``labels`` int32.
+
+    ``mask`` restricts paintable pixels; defaults to the local interior mask.
+    The tiled (shard_map) driver passes a *global*-interior mask in halo
+    coordinates instead.
+    """
+    if mask is None:
+        mask = interior_mask(labels.shape[-2:])
     up, down, left, right = shift4(labels, UNCOLOURED)
     # Min nonzero neighbour label; INT32_MAX where a neighbour is uncoloured.
     big = jnp.int32(INT32_MAX)
@@ -45,12 +52,7 @@ def flood_sweep(img: jnp.ndarray, labels: jnp.ndarray, lvl) -> jnp.ndarray:
         jnp.minimum(masked(left), masked(right)),
     )
     has_coloured = nmin != big
-    cand = (
-        (labels == UNCOLOURED)
-        & (img <= lvl)
-        & has_coloured
-        & interior_mask(labels.shape[-2:])
-    )
+    cand = (labels == UNCOLOURED) & (img <= lvl) & has_coloured & mask
     return jnp.where(cand, nmin, labels)
 
 

@@ -1,0 +1,273 @@
+"""Tiled multi-device watershed: shard_map over a 2-D mesh with halo exchange.
+
+The TPU-native replacement for the reference's shared-memory rayon parallelism
+(SURVEY.md §2 "Parallelism & communication"): the image is tiled over a
+('y', 'x') device mesh; each flood block exchanges a k-px halo over ICI
+(``lax.ppermute``), runs k local Jacobi sweeps (bit-identical to k global
+sweeps), and reduces a global "any pixel changed" flag with ``lax.psum``.
+Region merging keeps the parent table replicated: local adjacency scatter-mins
+are combined with ``lax.pmin`` and pointer jumping runs redundantly (and
+identically) on every device, avoiding host round-trips.
+
+An optional leading batch axis composes (dp-style): each device may hold a
+(B_local, h, w) stack (BASELINE config 5: 64x1024² cutouts over v5e-8), with
+per-batch parent tables.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..constants import INT32_MAX, NEVER_FILL, UNCOLOURED
+from ..ops.flood import flood_sweep
+from .halo import exchange_halo, global_interior_mask
+
+_BIG = jnp.int32(INT32_MAX)
+
+
+def _take_per_batch(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather table[b, idx[b, ...]] for a (B, K+1) table and (B, ...) indices."""
+    b = table.shape[0]
+    flat = jnp.take_along_axis(table, idx.reshape(b, -1), axis=1)
+    return flat.reshape(idx.shape)
+
+
+def _batched_bincount(values: jnp.ndarray, length: int) -> jnp.ndarray:
+    """(B, ...) int values -> (B, length) counts."""
+    b = values.shape[0]
+    flat = values.reshape(b, -1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 0)
+    out = jnp.zeros((b, length), dtype=jnp.int32)
+    return out.at[rows.reshape(-1), flat.reshape(-1)].add(
+        jnp.ones(flat.size, dtype=jnp.int32), mode="drop"
+    )
+
+
+def _local_level_driver(
+    img_tile,
+    lab_tile,
+    *,
+    global_shape,
+    n_labels,
+    max_water_level,
+    merging,
+    halo,
+    collect,
+    axis_y,
+    axis_x,
+    control_axes,
+):
+    """Per-device body (runs under shard_map).  Shapes: (B, h, w).
+
+    ``control_axes`` covers ALL mesh axes (incl. a batch axis): every loop
+    predicate is reduced over it so all devices execute identical collective
+    sequences — divergent trip counts across batch groups deadlock the
+    in-process CPU communicator and serialize poorly on ICI.  Converged
+    groups simply run no-op sweeps.
+    """
+    axes = (axis_y, axis_x)
+    img_tile = img_tile.astype(jnp.int32)
+    b, h, w = lab_tile.shape
+
+    # Image halo is static across the whole transform: exchange once.
+    img_p = exchange_halo(img_tile, halo, axis_y, axis_x, off_grid_fill=NEVER_FILL)
+    paint_mask = global_interior_mask((h, w), global_shape, halo, axis_y, axis_x)
+    merge_mask = global_interior_mask((h, w), global_shape, 1, axis_y, axis_x)
+
+    # Global per-level pixel-value counts for the level-skip early exit
+    # (reduced over ALL axes: the skip decision must be mesh-uniform).
+    vhist = lax.psum(_batched_bincount(img_tile, 256), control_axes)
+
+    def flood_fixed_point(lab, lvl):
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            lab, _ = state
+            lab_p = exchange_halo(lab, halo, axis_y, axis_x, off_grid_fill=UNCOLOURED)
+            lab_p = lax.fori_loop(
+                0, halo, lambda i, lp: flood_sweep(img_p, lp, lvl, paint_mask), lab_p
+            )
+            new = lab_p[..., halo:-halo, halo:-halo]
+            changed = (
+                lax.psum(jnp.any(new != lab).astype(jnp.int32), control_axes) > 0
+            )
+            return new, changed
+
+        lab, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True)))
+        return lab
+
+    def merge_fixed_point(lab):
+        ident = jnp.broadcast_to(
+            jnp.arange(n_labels + 1, dtype=jnp.int32), (b, n_labels + 1)
+        )
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            parent, _ = state
+            cur = _take_per_batch(parent, lab)
+            cur_p = exchange_halo(cur, 1, axis_y, axis_x, off_grid_fill=UNCOLOURED)
+
+            def differing(n):
+                return jnp.where((n != UNCOLOURED) & (n != cur_p), n, _BIG)
+
+            hp, wp = cur_p.shape[-2:]
+            pad = [(0, 0), (1, 1), (1, 1)]
+            pp = jnp.pad(cur_p, pad, constant_values=UNCOLOURED)
+            diff_min = _BIG
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                nb = pp[:, 1 + dy : 1 + dy + hp, 1 + dx : 1 + dx + wp]
+                diff_min = jnp.minimum(diff_min, differing(nb))
+            valid = (cur_p != UNCOLOURED) & merge_mask
+            diff_min = jnp.where(valid, diff_min, _BIG)
+
+            adj = jnp.full((b, n_labels + 1), _BIG, dtype=jnp.int32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (b, hp * wp), 0)
+            adj = adj.at[rows.reshape(-1), cur_p.reshape(-1)].min(
+                diff_min.reshape(-1), mode="drop"
+            )
+            adj = lax.pmin(adj, axes)
+
+            safe = jnp.minimum(adj, jnp.int32(n_labels))
+            cand = jnp.where(adj != _BIG, _take_per_batch(parent, safe), _BIG)
+            new_parent = jnp.minimum(parent, cand)
+
+            def jcond(s):
+                return s[1]
+
+            def jbody(s):
+                p, _ = s
+                p2 = _take_per_batch(p, p)
+                return p2, jnp.any(p2 != p)
+
+            new_parent, _ = lax.while_loop(jcond, jbody, (new_parent, jnp.bool_(True)))
+            changed = (
+                lax.psum(
+                    jnp.any(new_parent != parent).astype(jnp.int32), control_axes
+                )
+                > 0
+            )
+            return new_parent, changed
+
+        parent, _ = lax.while_loop(cond, body, (ident, jnp.bool_(True)))
+        return _take_per_batch(parent, lab)
+
+    def step(lab, lvl):
+        lab = flood_fixed_point(lab, lvl)
+        if merging:
+            lab = merge_fixed_point(lab)
+        return lab
+
+    levels = max_water_level + 1
+
+    def run_lvl(lvl, lab):
+        return lax.cond(
+            (lvl == 0) | jnp.any(vhist[:, lvl] > 0),
+            lambda l: step(l, lvl),
+            lambda l: l,
+            lab,
+        )
+
+    if collect == "none":
+        final = lax.fori_loop(0, levels, run_lvl, lab_tile)
+        return final
+
+    if collect == "sizes":
+        out = jnp.zeros((levels, b, n_labels + 1), dtype=jnp.int32)
+
+        def body(lvl, carry):
+            lab, out = carry
+            lab = run_lvl(lvl, lab)
+            counts = lax.psum(_batched_bincount(lab, n_labels + 1), axes)
+            return lab, out.at[lvl].set(counts)
+
+        final, out = lax.fori_loop(0, levels, body, (lab_tile, out))
+        return final, out
+
+    raise ValueError(f"unknown collect mode {collect!r}")
+
+
+def tiled_transform(
+    img,
+    labels0,
+    mesh: Mesh,
+    *,
+    n_labels: int,
+    max_water_level: int,
+    merging: bool = False,
+    halo: int = 4,
+    collect: str = "none",
+    axis_y: str = "y",
+    axis_x: str = "x",
+    axis_batch: str | None = None,
+):
+    """Run the full watershed tiled over ``mesh``.
+
+    ``img``/``labels0``: (H, W) or (B, H, W); H and W must divide evenly by
+    the mesh's y/x extent.  With ``axis_batch`` set, the leading batch axis is
+    additionally sharded over that mesh axis (dp x spatial).  Returns final
+    labels, plus (levels, B, K+1) lake sizes when ``collect='sizes'``.
+    """
+    img = jnp.asarray(img)
+    labels0 = jnp.asarray(labels0, dtype=jnp.int32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+        labels0 = labels0[None]
+    _, gh, gw = img.shape
+    ny = mesh.shape[axis_y]
+    nx = mesh.shape[axis_x]
+    if gh % ny or gw % nx:
+        raise ValueError(f"image {gh}x{gw} not divisible by mesh {ny}x{nx}")
+
+    spec = P(axis_batch, axis_y, axis_x)
+    local = partial(
+        _local_level_driver,
+        global_shape=(gh, gw),
+        n_labels=n_labels,
+        max_water_level=max_water_level,
+        merging=merging,
+        halo=halo,
+        collect=collect,
+        axis_y=axis_y,
+        axis_x=axis_x,
+        control_axes=tuple(mesh.axis_names),
+    )
+    if collect == "none":
+        out_specs = spec
+    else:
+        out_specs = (spec, P(None, axis_batch, None))
+
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+    out = fn(img, labels0)
+    if squeeze:
+        if collect == "none":
+            return out[0]
+        return out[0][0], out[1][:, 0]
+    return out
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("y", "x")) -> Mesh:
+    """A near-square 2-D mesh over the available devices."""
+    devs = np.asarray(jax.devices()[: n_devices or len(jax.devices())])
+    n = devs.size
+    ny = int(np.floor(np.sqrt(n)))
+    while n % ny:
+        ny -= 1
+    return Mesh(devs.reshape(ny, n // ny), axis_names)

@@ -1,0 +1,117 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: the tiled shard_map
+path must produce bit-identical labels to the single-device driver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from rustronomy_watershed_tpu.ops import paint_seeds, run_levels
+from rustronomy_watershed_tpu.parallel import make_mesh, tiled_transform
+
+MAXLVL = 10
+
+
+def _case(rng, shape=(32, 32)):
+    img = rng.integers(0, MAXLVL + 2, size=shape).astype(np.uint8)
+    # A handful of fixed seeds scattered around
+    seeds = [(3, 3), (3, shape[1] - 4), (shape[0] - 4, 5), (16, 16), (20, 9)]
+    labels0 = paint_seeds(shape, seeds)
+    return img, labels0, len(seeds)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("merging", [False, True])
+@pytest.mark.parametrize("halo", [1, 3])
+def test_tiled_matches_single_device(rng, merging, halo):
+    img, labels0, k = _case(rng)
+    want = np.asarray(
+        run_levels(
+            jnp.asarray(img),
+            labels0,
+            n_labels=k,
+            max_water_level=MAXLVL,
+            merging=merging,
+        )
+    )
+    mesh = make_mesh(8)  # 2 x 4 over virtual CPU devices
+    assert mesh.shape == {"y": 2, "x": 4}
+    got = np.asarray(
+        tiled_transform(
+            img,
+            labels0,
+            mesh,
+            n_labels=k,
+            max_water_level=MAXLVL,
+            merging=merging,
+            halo=halo,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiled_sizes_match_single_device(rng):
+    img, labels0, k = _case(rng)
+    _, want = run_levels(
+        jnp.asarray(img), labels0, n_labels=k, max_water_level=MAXLVL,
+        merging=True, collect="sizes",
+    )
+    mesh = make_mesh(8)
+    final, sizes = tiled_transform(
+        img, labels0, mesh, n_labels=k, max_water_level=MAXLVL,
+        merging=True, halo=2, collect="sizes",
+    )
+    np.testing.assert_array_equal(np.asarray(sizes), np.asarray(want)[:, : k + 1])
+
+
+def test_tiled_batched_with_dp_axis(rng):
+    # batch x spatial: mesh ('batch', 'y', 'x') = (2, 2, 2); each batch element
+    # must match its own single-device transform.
+    imgs = rng.integers(0, MAXLVL + 2, size=(4, 16, 16)).astype(np.uint8)
+    seeds = [(3, 3), (12, 12), (8, 4)]
+    labels0 = np.stack([np.asarray(paint_seeds((16, 16), seeds))] * 4)
+    devs = np.asarray(jax.devices()).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("batch", "y", "x"))
+    got = np.asarray(
+        tiled_transform(
+            imgs, labels0, mesh, n_labels=len(seeds), max_water_level=MAXLVL,
+            merging=True, halo=2, axis_batch="batch",
+        )
+    )
+    for i in range(4):
+        want = np.asarray(
+            run_levels(
+                jnp.asarray(imgs[i]), jnp.asarray(labels0[i]),
+                n_labels=len(seeds), max_water_level=MAXLVL, merging=True,
+            )
+        )
+        np.testing.assert_array_equal(got[i], want, err_msg=f"batch {i}")
+
+
+def test_vmap_batching_matches_loop(rng):
+    # Pure vmap batching (single device) of the jitted driver.
+    from functools import partial
+
+    imgs = rng.integers(0, 8, size=(3, 12, 12)).astype(np.uint8)
+    seeds = [(2, 2), (9, 9)]
+    lab0 = jnp.asarray(np.stack([np.asarray(paint_seeds((12, 12), seeds))] * 3))
+    f = jax.vmap(
+        partial(run_levels, n_labels=2, max_water_level=7, merging=False)
+    )
+    got = np.asarray(f(jnp.asarray(imgs), lab0))
+    for i in range(3):
+        want = np.asarray(
+            run_levels(jnp.asarray(imgs[i]), lab0[i], n_labels=2,
+                       max_water_level=7, merging=False)
+        )
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_indivisible_shape_raises(rng):
+    img, labels0, k = _case(rng, shape=(30, 30))
+    with pytest.raises(ValueError):
+        tiled_transform(img, labels0, make_mesh(8), n_labels=k, max_water_level=3)
