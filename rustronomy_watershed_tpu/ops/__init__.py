@@ -6,6 +6,7 @@ from .merge import merge_touching, resolve_merges, recolour, touching_pairs
 from .histogram import lake_sizes, value_histogram
 from .preprocess import pre_process, pre_process_jnp
 from .level_driver import run_levels, level_step
+from .pipeline import watershed_e2e, max_seed_count
 
 __all__ = [
     "flood_sweep",
@@ -23,4 +24,6 @@ __all__ = [
     "pre_process_jnp",
     "run_levels",
     "level_step",
+    "watershed_e2e",
+    "max_seed_count",
 ]
