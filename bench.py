@@ -30,6 +30,7 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "4096"))
     max_lvl = int(os.environ.get("BENCH_LEVELS", "254"))
     merging = os.environ.get("BENCH_MERGING", "0") == "1"
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     rng = np.random.default_rng(0)
@@ -38,7 +39,7 @@ def main():
     checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float64 if False else jnp.float32)))
 
     def run():
-        out = watershed_e2e(img, max_water_level=max_lvl, merging=merging)
+        out = watershed_e2e(img, max_water_level=max_lvl, merging=merging, backend=backend)
         return float(checksum(out))
 
     chk = run()  # compile + warm

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import INT32_MAX, UNCOLOURED
-from .stencil import interior_mask, shift4
+from .stencil import interior_mask, roll4
 
 
 def flood_sweep(img: jnp.ndarray, labels: jnp.ndarray, lvl, mask=None) -> jnp.ndarray:
@@ -40,7 +40,7 @@ def flood_sweep(img: jnp.ndarray, labels: jnp.ndarray, lvl, mask=None) -> jnp.nd
     """
     if mask is None:
         mask = interior_mask(labels.shape[-2:])
-    up, down, left, right = shift4(labels, UNCOLOURED)
+    up, down, left, right = roll4(labels)
     # Min nonzero neighbour label; INT32_MAX where a neighbour is uncoloured.
     big = jnp.int32(INT32_MAX)
 

@@ -4,12 +4,19 @@ TPU-native restructuring of the reference's per-level loop
 (/root/reference/src/lib.rs:1379-1521 merging, :1689-1807 segmenting):
 
 * ``lax.fori_loop`` over water levels 0..=max_water_level,
-* nested ``lax.while_loop`` flood fixed point (ops.flood),
+* nested ``lax.while_loop`` flood fixed point (ops.flood / ops.pallas_flood),
 * merge phase on-device (ops.merge) for the merging variant,
 * per-level statistics accumulated into pre-allocated stacked arrays instead
   of host-side hook callbacks (``transform_to_list`` -> (levels, K+1) lake
   sizes; ``transform_history`` -> (levels, H, W) snapshots), so the fast path
   never leaves the device.
+
+Two compute backends with bit-identical results:
+
+* ``backend='jnp'`` — whole-image fused stencil sweeps (XLA fusion), one HBM
+  round-trip per Jacobi sweep.  Works on any platform.
+* ``backend='pallas'`` — the time-tiled Pallas kernel (ops.pallas_flood):
+  ``steps`` sweeps per HBM round-trip on a padded tile-aligned domain.
 
 Per-level early exit: a level L > 0 at which no pixel has value exactly L is
 skipped via ``lax.cond`` (see ops.histogram.value_histogram) — its flood fixed
@@ -37,9 +44,63 @@ def level_step(img, labels, lvl, *, merging: bool, n_labels: int, sweep_fn=None)
     return labels
 
 
+def _collect_loop(step, labels0, *, levels, vhist, collect, n_labels, real_of):
+    """Shared level loop: run `step` per level, accumulate statistics.
+
+    ``real_of(labels)`` extracts the user-visible label plane (identity for
+    the jnp backend; centre slice for the padded pallas domain).
+    """
+
+    def run_lvl(lvl, lab):
+        return jax.lax.cond(
+            (lvl == 0) | (vhist[lvl] > 0), lambda l: step(l, lvl), lambda l: l, lab
+        )
+
+    if collect == "none":
+        labels = jax.lax.fori_loop(0, levels, run_lvl, labels0)
+        return real_of(labels)
+
+    if collect == "sizes":
+        out0 = jnp.zeros((levels, n_labels + 1), dtype=jnp.int32)
+
+        def body(lvl, carry):
+            lab, out = carry
+            lab = run_lvl(lvl, lab)
+            out = out.at[lvl].set(lake_sizes(real_of(lab), n_labels))
+            return lab, out
+
+        labels, out = jax.lax.fori_loop(0, levels, body, (labels0, out0))
+        return real_of(labels), out
+
+    if collect == "history":
+        real_shape = real_of(labels0).shape
+        out0 = jnp.zeros((levels,) + real_shape, dtype=jnp.int32)
+
+        def body(lvl, carry):
+            lab, out = carry
+            lab = run_lvl(lvl, lab)
+            out = out.at[lvl].set(real_of(lab))
+            return lab, out
+
+        labels, out = jax.lax.fori_loop(0, levels, body, (labels0, out0))
+        return real_of(labels), out
+
+    raise ValueError(f"unknown collect mode {collect!r}")
+
+
 @partial(
     jax.jit,
-    static_argnames=("n_labels", "max_water_level", "merging", "collect", "sweep_fn"),
+    static_argnames=(
+        "n_labels",
+        "max_water_level",
+        "merging",
+        "collect",
+        "sweep_fn",
+        "backend",
+        "tile",
+        "steps",
+        "interpret",
+    ),
 )
 def run_levels(
     img,
@@ -50,6 +111,10 @@ def run_levels(
     merging: bool,
     collect: str = "none",
     sweep_fn=None,
+    backend: str = "jnp",
+    tile: int = 64,
+    steps: int = 8,
+    interpret: bool = False,
 ):
     """Run the full transform.
 
@@ -59,10 +124,10 @@ def run_levels(
       n_labels: number of seeds K (static; labels in 1..K).
       max_water_level: inclusive final level (1..=254).
       merging: merging (void-filling) variant if True, else segmenting.
-      collect: 'none' | 'sizes' | 'history'
-        * 'none'    -> returns final labels only.
-        * 'sizes'   -> also (levels, K+1) per-level lake-size counts.
-        * 'history' -> also (levels, H, W) per-level label snapshots.
+      collect: 'none' | 'sizes' | 'history'.
+      backend: 'jnp' | 'pallas' (bit-identical results).
+      tile/steps/interpret: pallas kernel tuning (steps = sweeps fused per
+        HBM round-trip; interpret=True runs the kernel on CPU for testing).
 
     Returns final labels, or (final labels, collected stack).
     """
@@ -71,44 +136,49 @@ def run_levels(
     levels = max_water_level + 1
     vhist = value_histogram(img)
 
-    def step(labels, lvl):
-        return level_step(
-            img, labels, lvl, merging=merging, n_labels=n_labels, sweep_fn=sweep_fn
+    if backend == "jnp":
+
+        def step(labels, lvl):
+            return level_step(
+                img, labels, lvl, merging=merging, n_labels=n_labels, sweep_fn=sweep_fn
+            )
+
+        return _collect_loop(
+            step,
+            labels0,
+            levels=levels,
+            vhist=vhist,
+            collect=collect,
+            n_labels=n_labels,
+            real_of=lambda lab: lab,
         )
 
-    if collect == "none":
+    if backend == "pallas":
+        from .pallas_flood import flood_fixed_point_padded, pad_domain
 
-        def body(lvl, labels):
-            return jax.lax.cond(
-                (lvl == 0) | (vhist[lvl] > 0), lambda l: step(l, lvl), lambda l: l, labels
+        h, w = img.shape
+        img_pad, lab_pad = pad_domain(img, labels0, tile, steps)
+
+        def real_of(lab_pad):
+            return jax.lax.dynamic_slice(lab_pad, (steps, steps), (h, w))
+
+        def step(lab_pad, lvl):
+            lab_pad = flood_fixed_point_padded(
+                img_pad, lab_pad, lvl, tile=tile, steps=steps, interpret=interpret
             )
+            if merging:
+                real = merge_touching(real_of(lab_pad), n_labels)
+                lab_pad = jax.lax.dynamic_update_slice(lab_pad, real, (steps, steps))
+            return lab_pad
 
-        return jax.lax.fori_loop(0, levels, body, labels0)
+        return _collect_loop(
+            step,
+            lab_pad,
+            levels=levels,
+            vhist=vhist,
+            collect=collect,
+            n_labels=n_labels,
+            real_of=real_of,
+        )
 
-    if collect == "sizes":
-        out = jnp.zeros((levels, n_labels + 1), dtype=jnp.int32)
-
-        def body(lvl, carry):
-            labels, out = carry
-            labels = jax.lax.cond(
-                (lvl == 0) | (vhist[lvl] > 0), lambda l: step(l, lvl), lambda l: l, labels
-            )
-            out = out.at[lvl].set(lake_sizes(labels, n_labels))
-            return labels, out
-
-        return jax.lax.fori_loop(0, levels, body, (labels0, out))
-
-    if collect == "history":
-        out = jnp.zeros((levels,) + labels0.shape, dtype=jnp.int32)
-
-        def body(lvl, carry):
-            labels, out = carry
-            labels = jax.lax.cond(
-                (lvl == 0) | (vhist[lvl] > 0), lambda l: step(l, lvl), lambda l: l, labels
-            )
-            out = out.at[lvl].set(labels)
-            return labels, out
-
-        return jax.lax.fori_loop(0, levels, body, (labels0, out))
-
-    raise ValueError(f"unknown collect mode {collect!r}")
+    raise ValueError(f"unknown backend {backend!r}")

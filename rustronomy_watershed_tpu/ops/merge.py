@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import INT32_MAX, UNCOLOURED
-from .stencil import interior_mask, shift4
+from .stencil import interior_mask, roll4
 
 _BIG = jnp.int32(INT32_MAX)
 
@@ -60,7 +60,7 @@ def _adjacency_min(cur: jnp.ndarray, n_labels: int) -> jnp.ndarray:
     Centres are interior-only, matching the reference's window semantics
     (a pair of two *border* pixels is never recorded, SURVEY.md §2 #5).
     """
-    up, down, left, right = shift4(cur, UNCOLOURED)
+    up, down, left, right = roll4(cur)
 
     def differing(n):
         return jnp.where((n != UNCOLOURED) & (n != cur), n, _BIG)

@@ -28,7 +28,17 @@ def max_seed_count(shape: tuple[int, int]) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("max_water_level", "merging", "collect", "n_labels", "sweep_fn"),
+    static_argnames=(
+        "max_water_level",
+        "merging",
+        "collect",
+        "n_labels",
+        "sweep_fn",
+        "backend",
+        "tile",
+        "steps",
+        "interpret",
+    ),
 )
 def watershed_e2e(
     img,
@@ -38,6 +48,10 @@ def watershed_e2e(
     collect: str = "none",
     n_labels: int | None = None,
     sweep_fn=None,
+    backend: str = "jnp",
+    tile: int = 64,
+    steps: int = 8,
+    interpret: bool = False,
 ):
     """Seeds from the image itself (reference find_local_minima semantics),
     then the full level sweep.  Returns what run_levels returns."""
@@ -54,4 +68,8 @@ def watershed_e2e(
         merging=merging,
         collect=collect,
         sweep_fn=sweep_fn,
+        backend=backend,
+        tile=tile,
+        steps=steps,
+        interpret=interpret,
     )

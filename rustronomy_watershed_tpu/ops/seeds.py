@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .stencil import interior_mask, shift8
+from .stencil import interior_mask, roll8
 
 
 def local_extrema_mask(img: jnp.ndarray, mode: str = "reference") -> jnp.ndarray:
@@ -31,7 +31,7 @@ def local_extrema_mask(img: jnp.ndarray, mode: str = "reference") -> jnp.ndarray
     documented intent (all 8 neighbours > centre) for users who want true
     minima seeding.
     """
-    neigh = shift8(img, 0 if mode == "reference" else 255)
+    neigh = roll8(img)
     if mode == "reference":
         ok = neigh[0] < img
         for n in neigh[1:]:

@@ -29,6 +29,35 @@ def shift4(a: jnp.ndarray, fill) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
     return up, down, left, right
 
 
+def roll4(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """4-neighbour reads with WRAP-AROUND instead of padding (no copies).
+
+    Out-of-bounds reads see the opposite edge, which is only ever observed by
+    pixels on the array border.  Callers must therefore mask the border out of
+    the candidate set (the watershed kernels already never paint/seed/merge
+    border *centres*, matching the reference's 3x3-window semantics), making
+    the wrap unobservable: border labels are invariant, so wrapped values read
+    by interior ring-1 pixels are the true border values.
+    """
+    up = jnp.roll(a, 1, axis=-2)
+    down = jnp.roll(a, -1, axis=-2)
+    left = jnp.roll(a, 1, axis=-1)
+    right = jnp.roll(a, -1, axis=-1)
+    return up, down, left, right
+
+
+def roll8(a: jnp.ndarray):
+    """8-neighbour wrap-around reads (same masking contract as roll4)."""
+    out = []
+    for dy in (-1, 0, 1):
+        ay = jnp.roll(a, -dy, axis=-2) if dy else a
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out.append(jnp.roll(ay, -dx, axis=-1) if dx else ay)
+    return tuple(out)
+
+
 def shift8(a: jnp.ndarray, fill):
     """All eight 8-connected neighbour reads (out-of-bounds -> ``fill``)."""
     h, w = a.shape[-2], a.shape[-1]
