@@ -154,26 +154,47 @@ def run_levels(
         )
 
     if backend == "pallas":
-        from .pallas_flood import flood_fixed_point_padded, pad_domain
+        from .pallas_flood import (
+            band_histogram,
+            flood_fixed_point_padded,
+            gather_current,
+            pad_domain,
+        )
 
         h, w = img.shape
         img_pad, lab_pad = pad_domain(img, labels0, tile, steps)
+        bhist = band_histogram(img, tile)
+        gy = bhist.shape[0]
+        # Distinct ping-pong allocations (both aliased in-place by the
+        # kernel, so they must not share a buffer); aprons stay zero forever.
+        state0 = (lab_pad, lab_pad * 1, jnp.zeros((gy,), jnp.int32))
 
-        def real_of(lab_pad):
-            return jax.lax.dynamic_slice(lab_pad, (steps, steps), (h, w))
+        def real_of(state):
+            a, b, cur = state
+            lab = gather_current(a, b, cur, tile=tile, steps=steps)
+            return jax.lax.dynamic_slice(lab, (steps, steps), (h, w))
 
-        def step(lab_pad, lvl):
-            lab_pad = flood_fixed_point_padded(
-                img_pad, lab_pad, lvl, tile=tile, steps=steps, interpret=interpret
+        def step(state, lvl):
+            a, b, cur = state
+            first_active = (bhist[:, lvl] > 0).astype(jnp.int32)
+            a, b, cur = flood_fixed_point_padded(
+                img_pad, a, b, cur, lvl, first_active,
+                tile=tile, steps=steps, interpret=interpret,
             )
             if merging:
-                real = merge_touching(real_of(lab_pad), n_labels)
-                lab_pad = jax.lax.dynamic_update_slice(lab_pad, real, (steps, steps))
-            return lab_pad
+                state = (a, b, cur)
+                merged = merge_touching(real_of(state), n_labels)
+                plane = jax.lax.dynamic_update_slice(
+                    gather_current(a, b, cur, tile=tile, steps=steps),
+                    merged,
+                    (steps, steps),
+                )
+                return plane, plane * 1, jnp.zeros((gy,), jnp.int32)
+            return a, b, cur
 
         return _collect_loop(
             step,
-            lab_pad,
+            state0,
             levels=levels,
             vhist=vhist,
             collect=collect,

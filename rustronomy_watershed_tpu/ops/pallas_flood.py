@@ -1,36 +1,43 @@
-"""Pallas TPU kernel: k fused Jacobi flood sweeps per HBM round-trip.
+"""Pallas TPU kernels: k fused Jacobi flood sweeps per HBM round-trip.
 
 The hot loop of the transform (SURVEY.md §3.2: the per-iteration full-image
 window sweep, reference ``find_flooded_px`` src/lib.rs:196-257) is
-HBM-bandwidth/fusion-bound as plain jnp.  This kernel time-tiles it:
+HBM-bandwidth/fusion-bound as plain jnp.  This kernel time-tiles and
+sparsifies it:
 
 * the label/image planes live in a **padded domain**: a P-px apron
   (img = NEVER_FILL, so apron cells can never flood) around the image, with
   the real 1-px border also forced to NEVER_FILL — encoding the reference's
-  "window centres only" rule in data so the kernel needs no interior masking;
-* the grid walks **full-width row bands**: each step DMAs a (T+2P, Wp) band
-  (band + P-row halo) into VMEM and runs **P Jacobi steps in registers** —
-  information moves one 4-connected pixel per sweep, so the central T rows
-  come out bit-identical to P global sweeps.  Full-width bands keep every DMA
-  slice lane-aligned (Mosaic requires 128-multiple widths on sliced dims);
-* band input/output DMAs are **double-buffered across grid steps** (band i+1
-  prefetches while band i computes; output DMAs drain two steps behind), so
-  per-band DMA latency is hidden and a call approaches HBM bandwidth;
+  "window centres only" rule in data so the kernel needs no interior masking.
+  The image plane is stored as int8 (value - 128) for 4x less DMA traffic;
+* the grid walks **full-width row bands**: an active band DMAs its (T+2P, Wp)
+  window (band + P-row halo) into VMEM and runs **P Jacobi steps in
+  registers** — information moves one 4-connected pixel per sweep, so the
+  central T rows come out bit-identical to P global sweeps.  Full-width bands
+  keep every DMA slice lane-aligned (Mosaic needs 128-multiple widths);
+* an **activity vector** (scalar-prefetched) makes inactive bands cost
+  nothing: at a level's first call only bands containing a pixel of value
+  exactly L can flood (at the previous level's fixed point every uncoloured
+  frontier pixel has value >= L), and afterwards only bands whose centre
+  changed last call — or their immediate neighbours (information moves <= P
+  < T rows per call) — can change;
+* labels are **per-band ping-pong buffered**: a ``cur`` bitmap says which of
+  two HBM label buffers holds each band's current rows.  Reads source the
+  ``cur`` side (never written this call), and a band that painted its centre
+  writes the flipped side; idle bands move zero bytes.  Both buffers are
+  aliased inputs->outputs, so unwritten bands persist for free;
 * neighbour reads use wrap-around rolls.  Row-wrap ghosts live in the band's
   outermost rows, whose corruption propagates at most P-1 rows inward — never
   reaching the central rows.  Column wrap needs no halo at all: the wrapped
   values are only ever read by apron/border columns, which can never flood;
-* an early-exit ``lax.cond`` skips steps 2..P when the first sweep changed
-  nothing in the band (the common case once a level's wavefront has passed);
-* the returned flag is the **last-sweep change on central rows**, OR-ed over
-  bands into one SMEM accumulator.  Central rows at internal steps P-1 and P
-  equal the global sweeps G_{P-1} and G_P (exactness radius shrinks one ring
-  per step, and centres sit >= P rings deep), so flag == False certifies the
-  global fixed point: a level whose wavefront dies within P-1 sweeps costs
-  ONE kernel call, not a productive call plus a detection call.
-
-HBM traffic per effective sweep drops from ~10 materialised planes (jnp) to
-~(12 + 8P/T)/P bytes per pixel.
+* change flags are derived from the paint predicate ``cand`` (no extra
+  whole-plane compares) and restricted to **centre rows** (halo ghosts would
+  otherwise keep signalling change at the fixed point and hang the driver);
+* the returned scalar flag is the OR over bands of the **last-sweep centre
+  change**.  Centre rows at internal steps P-1 and P equal the global sweeps
+  G_{P-1} and G_P (the exactness radius shrinks one ring per sweep and
+  centres sit >= P rings deep), so flag == False certifies the global fixed
+  point: a level whose wavefront dies within P-1 sweeps costs ONE call.
 """
 
 from __future__ import annotations
@@ -48,6 +55,10 @@ DEFAULT_TILE = 64  # rows per band
 DEFAULT_STEPS = 8  # fused sweeps per HBM round-trip (multiple of 8)
 
 
+def _img_to_i8(img_i32):
+    return (img_i32 - 128).astype(jnp.int8)
+
+
 def pad_domain(img, labels, tile: int = DEFAULT_TILE, steps: int = DEFAULT_STEPS):
     """Embed (H, W) image/labels into the padded, row-aligned kernel domain.
 
@@ -55,7 +66,7 @@ def pad_domain(img, labels, tile: int = DEFAULT_TILE, steps: int = DEFAULT_STEPS
     the padded width is rounded up to a 128 multiple (Mosaic DMA lane
     alignment), with at least a P-col apron.  img_pad is NEVER_FILL outside
     the real region AND on the real border ring (the reference never paints
-    border pixels: src/lib.rs:220-233).
+    border pixels: src/lib.rs:220-233), then biased to int8 (value - 128).
     """
     img = jnp.asarray(img).astype(jnp.int32)
     labels = jnp.asarray(labels, dtype=jnp.int32)
@@ -72,11 +83,43 @@ def pad_domain(img, labels, tile: int = DEFAULT_TILE, steps: int = DEFAULT_STEPS
     img_pad = jax.lax.dynamic_update_slice(img_pad, img_eff, (p, p))
     lab_pad = jnp.zeros(shape, dtype=jnp.int32)
     lab_pad = jax.lax.dynamic_update_slice(lab_pad, labels, (p, p))
-    return img_pad, lab_pad
+    return _img_to_i8(img_pad), lab_pad
+
+
+def band_histogram(img, tile: int = DEFAULT_TILE) -> jnp.ndarray:
+    """(gy, 256) pixel-value counts per row band of the (H, W) image —
+    drives the first-call activity set of each water level."""
+    img = jnp.asarray(img).astype(jnp.int32)
+    h, w = img.shape
+    h2 = -(-h // tile) * tile
+    gy = h2 // tile
+    pad = jnp.full((h2, w), NEVER_FILL, dtype=jnp.int32)
+    pad = jax.lax.dynamic_update_slice(pad, img, (0, 0))
+    bands = pad.reshape(gy, tile * w)
+    rows = jax.lax.broadcasted_iota(jnp.int32, bands.shape, 0)
+    out = jnp.zeros((gy, 256), dtype=jnp.int32)
+    return out.at[rows.reshape(-1), bands.reshape(-1)].add(
+        jnp.ones(bands.size, dtype=jnp.int32), mode="drop"
+    )
 
 
 def _flood_kernel(
-    lvl_ref, img_hbm, lab_hbm, out_hbm, chg_ref, img2, lab2, out2, sin, sout, *, tile, steps
+    lvl_ref,
+    active_ref,
+    curp_ref,
+    img_hbm,
+    bufa_in,
+    bufb_in,
+    bufa_out,
+    bufb_out,
+    flags_ref,
+    chg_ref,
+    img2,
+    lab2,
+    sems,
+    *,
+    tile,
+    steps,
 ):
     t, p = tile, steps
     win = t + 2 * p
@@ -85,109 +128,175 @@ def _flood_kernel(
     slot = jax.lax.rem(i, 2)
     nslot = 1 - slot
 
-    def in_dmas(s, band):
-        row0 = band * t
-        return (
-            pltpu.make_async_copy(
-                img_hbm.at[pl.ds(row0, win), :], img2.at[s], sin.at[s, 0]
-            ),
-            pltpu.make_async_copy(
-                lab_hbm.at[pl.ds(row0, win), :], lab2.at[s], sin.at[s, 1]
-            ),
-        )
-
-    def out_dma(s, band):
-        return pltpu.make_async_copy(
-            out2.at[s], out_hbm.at[pl.ds(band * t + p, t), :], sout.at[s]
-        )
-
-    # Warm-up: band 0 fetches itself; every step prefetches band i+1.
-    @pl.when(i == 0)
-    def _():
-        for dma in in_dmas(slot, i):
-            dma.start()
-
-    @pl.when(i + 1 < gy)
-    def _():
-        for dma in in_dmas(nslot, i + 1):
-            dma.start()
-
-    for dma in in_dmas(slot, i):
-        dma.wait()
-
-    lvl = lvl_ref[0]
-    flooded = img2[slot] <= lvl
-    lab0 = lab2[slot]
-    big = jnp.int32(INT32_MAX)  # materialised inside: kernels can't capture consts
-    wp = lab0.shape[1]
-
-    def one_sweep(lab):
-        # pltpu.roll requires non-negative shifts: -1 == size - 1 (mod size).
-        up = pltpu.roll(lab, 1, 0)
-        down = pltpu.roll(lab, win - 1, 0)
-        left = pltpu.roll(lab, 1, 1)
-        right = pltpu.roll(lab, wp - 1, 1)
-
-        def masked(n):
-            return jnp.where(n != UNCOLOURED, n, big)
-
-        nmin = jnp.minimum(
-            jnp.minimum(masked(up), masked(down)),
-            jnp.minimum(masked(left), masked(right)),
-        )
-        cand = (lab == UNCOLOURED) & flooded & (nmin != big)
-        return jnp.where(cand, nmin, lab)
-
-    lab1 = one_sweep(lab0)
-    band_changed = jnp.any(lab1 != lab0)
-
-    def rest(l1):
-        def body(_, carry):
-            prev, cur = carry
-            return cur, one_sweep(cur)
-
-        return jax.lax.fori_loop(0, steps - 1, body, (lab0, l1))
-
-    lab_pm1, lab_final = jax.lax.cond(
-        band_changed, rest, lambda l1: (l1, l1), lab1
-    )
-
-    # OR-accumulate the last-sweep centre change (global fixed-point witness).
     @pl.when(i == 0)
     def _():
         chg_ref[0, 0] = 0
 
-    centre_changed = jnp.any(lab_final[p : p + t, :] != lab_pm1[p : p + t, :])
-    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], centre_changed.astype(jnp.int32))
+    flags_ref[i, 0] = 0
 
-    # Drain the out-DMA issued two steps ago before reusing its slot.
-    @pl.when(i >= 2)
+    def start_in_dmas(s, band):
+        # Window assembly: image + three label regions from the `cur` side of
+        # the ping-pong pair (top halo owned by band-1, centre by band,
+        # bottom halo by band+1; curp is cur padded one entry each side so no
+        # clamping is needed; aprons are identical in both buffers).
+        row0 = band * t
+        pltpu.make_async_copy(
+            img_hbm.at[pl.ds(row0, win), :], img2.at[s], sems.at[s, 0]
+        ).start()
+        regions = (
+            (row0, 0, p, curp_ref[band]),
+            (row0 + p, p, t, curp_ref[band + 1]),
+            (row0 + p + t, p + t, p, curp_ref[band + 2]),
+        )
+        for k, (src_row, dst_row, nrows, which) in enumerate(regions):
+
+            @pl.when(which == 0)
+            def _():
+                pltpu.make_async_copy(
+                    bufa_in.at[pl.ds(src_row, nrows), :],
+                    lab2.at[s, pl.ds(dst_row, nrows), :],
+                    sems.at[s, k + 1],
+                ).start()
+
+            @pl.when(which != 0)
+            def _():
+                pltpu.make_async_copy(
+                    bufb_in.at[pl.ds(src_row, nrows), :],
+                    lab2.at[s, pl.ds(dst_row, nrows), :],
+                    sems.at[s, k + 1],
+                ).start()
+
+    def wait_in_dmas(s, band):
+        # Wait by byte count: both source branches copy identical shapes.
+        row0 = band * t
+        pltpu.make_async_copy(
+            img_hbm.at[pl.ds(row0, win), :], img2.at[s], sems.at[s, 0]
+        ).wait()
+        for k, (src_row, dst_row, nrows) in enumerate(
+            ((row0, 0, p), (row0 + p, p, t), (row0 + p + t, p + t, p))
+        ):
+            pltpu.make_async_copy(
+                bufa_in.at[pl.ds(src_row, nrows), :],
+                lab2.at[s, pl.ds(dst_row, nrows), :],
+                sems.at[s, k + 1],
+            ).wait()
+
+    # NOTE on pipelining: issuing band i+1's DMAs during band i's step with
+    # activity-conditional issue/wait pairing deadlocked the hardware DMA
+    # engine (semaphore flow must be unconditional across grid steps).  Until
+    # a safe cross-band prefetch lands, active bands fetch-and-wait in-step.
+    @pl.when(active_ref[i] > 0)
     def _():
-        out_dma(slot, i - 2).wait()
+        start_in_dmas(slot, i)
+        wait_in_dmas(slot, i)
+        row0 = i * t
 
-    out2[slot] = lab_final[p : p + t, :]
-    out_dma(slot, i).start()
+        # --- P fused sweeps.
+        lvl = lvl_ref[0]  # already biased to int8 range by the caller
+        flooded = img2[slot] <= lvl
+        lab0 = lab2[slot]
+        big = jnp.int32(INT32_MAX)
+        wp = lab0.shape[1]
 
-    @pl.when(i == gy - 1)
-    def _():
-        out_dma(slot, i).wait()
+        def one_sweep(lab):
+            # pltpu.roll needs non-negative shifts: -1 == size - 1 (mod size).
+            up = pltpu.roll(lab, 1, 0)
+            down = pltpu.roll(lab, win - 1, 0)
+            left = pltpu.roll(lab, 1, 1)
+            right = pltpu.roll(lab, wp - 1, 1)
 
-    @pl.when((i == gy - 1) & (gy >= 2))
-    def _():
-        out_dma(nslot, i - 1).wait()
+            def masked(n):
+                return jnp.where(n != UNCOLOURED, n, big)
+
+            nmin = jnp.minimum(
+                jnp.minimum(masked(up), masked(down)),
+                jnp.minimum(masked(left), masked(right)),
+            )
+            cand = (lab == UNCOLOURED) & flooded & (nmin != big)
+            painted_win = jnp.any(cand)
+            painted_ctr = jnp.any(cand[p : p + t, :])
+            return jnp.where(cand, nmin, lab), painted_win, painted_ctr
+
+        lab1, painted1_win, painted1_ctr = one_sweep(lab0)
+
+        def rest(args):
+            l1, c1 = args
+
+            def body(_, carry):
+                lab, anyc, _ = carry
+                new, _, cc = one_sweep(lab)
+                return new, anyc | cc, cc
+
+            return jax.lax.fori_loop(0, steps - 1, body, (l1, c1, c1))
+
+        lab_final, any_ctr, last_ctr = jax.lax.cond(
+            painted1_win,
+            rest,
+            lambda args: (args[0], args[1], args[1]),
+            (lab1, painted1_ctr),
+        )
+
+        flags_ref[i, 0] = any_ctr.astype(jnp.int32)
+        chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], last_ctr.astype(jnp.int32))
+
+        # --- Write the centre to the flipped buffer iff it changed.
+        @pl.when(any_ctr)
+        def _():
+            lab2[slot, p : p + t, :] = lab_final[p : p + t, :]
+
+            @pl.when(curp_ref[i + 1] == 0)
+            def _():
+                pltpu.make_async_copy(
+                    lab2.at[slot, pl.ds(p, t), :],
+                    bufb_out.at[pl.ds(row0 + p, t), :],
+                    sems.at[slot, 4],
+                ).start()
+                pltpu.make_async_copy(
+                    lab2.at[slot, pl.ds(p, t), :],
+                    bufb_out.at[pl.ds(row0 + p, t), :],
+                    sems.at[slot, 4],
+                ).wait()
+
+            @pl.when(curp_ref[i + 1] != 0)
+            def _():
+                pltpu.make_async_copy(
+                    lab2.at[slot, pl.ds(p, t), :],
+                    bufa_out.at[pl.ds(row0 + p, t), :],
+                    sems.at[slot, 4],
+                ).start()
+                pltpu.make_async_copy(
+                    lab2.at[slot, pl.ds(p, t), :],
+                    bufa_out.at[pl.ds(row0 + p, t), :],
+                    sems.at[slot, 4],
+                ).wait()
 
 
 @partial(jax.jit, static_argnames=("tile", "steps", "interpret"))
 def flood_block(
-    img_pad, lab_pad, lvl, *, tile=DEFAULT_TILE, steps=DEFAULT_STEPS, interpret=False
+    img_pad,
+    buf_a,
+    buf_b,
+    lvl,
+    active,
+    cur,
+    *,
+    tile=DEFAULT_TILE,
+    steps=DEFAULT_STEPS,
+    interpret=False,
 ):
-    """Run `steps` fused sweeps on the padded domain.
+    """One activity-gated kernel call of `steps` fused sweeps.
 
-    Returns (new_lab_pad, not_converged).  not_converged == False certifies
-    the global per-level fixed point (see module docstring).  The top/bottom
-    P-row aprons of new_lab_pad are junk (no band writes them) — harmless by
-    construction: every apron cell has img = NEVER_FILL, so apron labels are
-    never read by a paintable pixel.
+    Args:
+      img_pad: int8 biased image plane (pad_domain output).
+      buf_a / buf_b: the ping-pong label planes (aliased to the outputs).
+      lvl: water level (0..254).
+      active: (gy,) int32 — bands allowed to change this call.
+      cur: (gy,) int32 — which buffer (0=A, 1=B) holds each band's rows.
+
+    Returns (buf_a', buf_b', flags, not_converged): flags[i] != 0 iff band
+    i's centre changed (the band wrote its flipped buffer — the caller must
+    flip ``cur`` accordingly and dilate flags into the next active set);
+    not_converged == False certifies the per-level global fixed point.
     """
     hp, wp = img_pad.shape
     p = steps
@@ -195,57 +304,100 @@ def flood_block(
     win = tile + 2 * p
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(gy,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((gy, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
+            pltpu.VMEM((2, win, wp), jnp.int8),
             pltpu.VMEM((2, win, wp), jnp.int32),
-            pltpu.VMEM((2, win, wp), jnp.int32),
-            pltpu.VMEM((2, tile, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 5)),
         ],
     )
 
-    lvl_arr = jnp.asarray(lvl, dtype=jnp.int32).reshape((1,))
-    new_lab, chg = pl.pallas_call(
+    lvl_arr = (jnp.asarray(lvl, dtype=jnp.int32) - 128).reshape((1,))
+    active = jnp.asarray(active, dtype=jnp.int32)
+    cur = jnp.asarray(cur, dtype=jnp.int32)
+    curp = jnp.concatenate([cur[:1], cur, cur[-1:]])
+
+    buf_a2, buf_b2, flags, chg = pl.pallas_call(
         partial(_flood_kernel, tile=tile, steps=steps),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((gy, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
+        input_output_aliases={4: 0, 5: 1},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,  # raise the 16M scoped default
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lvl_arr, img_pad, lab_pad)
-    return new_lab, chg[0, 0] > 0
+    )(lvl_arr, active, curp, img_pad, buf_a, buf_b)
+    return buf_a2, buf_b2, flags[:, 0], chg[0, 0] > 0
+
+
+def gather_current(buf_a, buf_b, cur, *, tile=DEFAULT_TILE, steps=DEFAULT_STEPS):
+    """Assemble one padded label plane from the per-band ping-pong pair."""
+    hp, wp = buf_a.shape
+    p = steps
+    rows = jnp.arange(hp, dtype=jnp.int32)
+    band = jnp.clip((rows - p) // tile, 0, cur.shape[0] - 1)
+    mask = (cur[band] != 0)[:, None]
+    return jnp.where(mask, buf_b, buf_a)
+
+
+def _dilate_flags(flags: jnp.ndarray) -> jnp.ndarray:
+    """Next call's active set: changed bands and their neighbours."""
+    up = jnp.concatenate([flags[1:], jnp.zeros((1,), flags.dtype)])
+    down = jnp.concatenate([jnp.zeros((1,), flags.dtype), flags[:-1]])
+    return flags | up | down
 
 
 def flood_fixed_point_padded(
-    img_pad, lab_pad, lvl, *, tile=DEFAULT_TILE, steps=DEFAULT_STEPS, interpret=False
+    img_pad,
+    buf_a,
+    buf_b,
+    cur,
+    lvl,
+    first_active,
+    *,
+    tile=DEFAULT_TILE,
+    steps=DEFAULT_STEPS,
+    interpret=False,
 ):
-    """Iterate flood_block to the per-level fixed point (padded domain)."""
+    """Iterate flood_block to the per-level global fixed point.
+
+    ``first_active``: (gy,) int32 — bands that may flood at this level's
+    first call (bands containing a pixel of value exactly lvl).
+    Returns (buf_a, buf_b, cur).
+    """
 
     def cond(state):
-        return state[1]
+        return state[4]
 
     def body(state):
-        lab, _ = state
-        return flood_block(
-            img_pad, lab, lvl, tile=tile, steps=steps, interpret=interpret
+        a, b, cur, active, _ = state
+        a, b, flags, not_conv = flood_block(
+            img_pad, a, b, lvl, active, cur, tile=tile, steps=steps, interpret=interpret
         )
+        cur = cur ^ flags
+        return a, b, cur, _dilate_flags(flags), not_conv
 
-    lab, _ = jax.lax.while_loop(cond, body, (lab_pad, jnp.bool_(True)))
-    return lab
+    a, b, cur, _, _ = jax.lax.while_loop(
+        cond, body, (buf_a, buf_b, cur, first_active, jnp.bool_(True))
+    )
+    return a, b, cur
 
 
 def make_sweep_fn(
@@ -257,9 +409,14 @@ def make_sweep_fn(
     def sweep(img, labels, lvl):
         img_pad, lab_pad = pad_domain(img, labels, tile, steps)
         h, w = labels.shape
-        new, _ = flood_block(
-            img_pad, lab_pad, lvl, tile=tile, steps=steps, interpret=interpret
+        gy = (img_pad.shape[0] - 2 * steps) // tile
+        ones = jnp.ones((gy,), jnp.int32)
+        zeros = jnp.zeros((gy,), jnp.int32)
+        a, b, flags, _ = flood_block(
+            img_pad, lab_pad, lab_pad, lvl, ones, zeros,
+            tile=tile, steps=steps, interpret=interpret,
         )
+        new = gather_current(a, b, flags, tile=tile, steps=steps)
         return jax.lax.dynamic_slice(new, (steps, steps), (h, w))
 
     return sweep

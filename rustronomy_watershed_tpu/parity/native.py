@@ -1,0 +1,112 @@
+"""ctypes binding for the native C++ oracle (builds on first use).
+
+The reference crate's native-performance story is rayon + jemalloc inside
+Rust; this framework's host-side native component is a small C++ engine with
+the exact reference semantics (pinned min-label tie-break), used to
+cross-check the TPU kernels at scale and as a CPU fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "oracle.cc")
+_LIB = None
+
+
+def _build() -> str:
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.join(tempfile.gettempdir())),
+        "rustronomy_watershed_tpu",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    src_mtime = int(os.path.getmtime(_SRC))
+    so_path = os.path.join(cache_dir, f"oracle_{src_mtime}.so")
+    if not os.path.exists(so_path):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", so_path],
+            check=True,
+            capture_output=True,
+        )
+    return so_path
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(_build())
+        lib.watershed_oracle.restype = ctypes.c_int
+        lib.watershed_oracle.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.local_extrema_oracle.restype = ctypes.c_int
+        lib.local_extrema_oracle.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def native_transform(
+    img,
+    seeds,
+    max_water_level: int = 254,
+    merging: bool = False,
+    edge_correction: bool = False,
+    with_sizes: bool = False,
+):
+    """Run the native oracle.  Returns labels (int64) or (labels, sizes)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if edge_correction:
+        img = np.pad(img, 1, constant_values=0)
+    h, w = img.shape
+    labels = np.zeros((h, w), dtype=np.int64)
+    for col, (y, x) in enumerate(seeds, start=1):
+        labels[y, x] = col  # no +1 shift under edge correction (Q7)
+    k = len(seeds)
+    sizes = (
+        np.zeros((max_water_level + 1, k + 1), dtype=np.int64) if with_sizes else None
+    )
+    rc = _lib().watershed_oracle(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        k,
+        int(max_water_level),
+        int(bool(merging)),
+        sizes.ctypes.data if with_sizes else None,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native oracle failed rc={rc}")
+    return (labels, sizes) if with_sizes else labels
+
+
+def native_find_local_minima(img) -> list[tuple[int, int]]:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    mask = np.zeros((h, w), dtype=np.uint8)
+    rc = _lib().local_extrema_oracle(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native oracle failed rc={rc}")
+    return [tuple(c) for c in np.argwhere(mask.astype(bool))]

@@ -1,0 +1,174 @@
+// Native host oracle of the reference watershed semantics.
+//
+// Independent C++ implementation of the behaviour documented in SURVEY.md §3
+// (/root/reference/src/lib.rs:1328-1522) under the pinned deterministic
+// plateau tie-break (min coloured 4-neighbour label, SURVEY.md Q2/Q9).  Used
+// by the parity harness to cross-check the TPU kernels at sizes where the
+// NumPy oracle is too slow, and as a fast host fallback engine.
+//
+// Semantics:
+//   * level loop 0..=max_water_level,
+//   * per level, sweep-synchronised Jacobi colouring: candidates are
+//     interior, uncoloured, img <= lvl, with >= 1 coloured 4-neighbour; the
+//     painted colour is the min 4-neighbour label read from the sweep-start
+//     snapshot (epoch-tagged paints avoid copying the plane per sweep),
+//   * merging variant: after each level's fixed point, transitively merge
+//     all 4-adjacent differing coloured labels (interior centres), min label
+//     wins, applied to the plane via a LUT.
+//
+// Build: g++ -O3 -shared -fPIC (see parity/native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct UnionFind {
+  std::vector<int64_t> parent;
+  explicit UnionFind(int64_t n) : parent(n) {
+    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+  }
+  int64_t find(int64_t a) {
+    while (parent[a] != a) {
+      parent[a] = parent[parent[a]];
+      a = parent[a];
+    }
+    return a;
+  }
+  void union_min(int64_t a, int64_t b) {
+    int64_t ra = find(a), rb = find(b);
+    if (ra == rb) return;
+    if (ra < rb)
+      parent[rb] = ra;
+    else
+      parent[ra] = rb;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Full transform.  img: (h*w) u8 row-major.  labels: (h*w) int64, seeds
+// pre-painted by the caller (colours 1..K), output written in place.
+// If sizes_out != nullptr it must hold (max_lvl+1) * (n_labels+1) int64 and
+// receives the per-level lake-size histogram.  Returns 0 on success.
+int watershed_oracle(const uint8_t* img, int64_t h, int64_t w,
+                     int64_t* labels, int64_t n_labels, int max_lvl,
+                     int merging, int64_t* sizes_out) {
+  const int64_t n = h * w;
+  std::vector<int32_t> epoch(n, 0);   // sweep index at which a pixel was painted
+  std::vector<int64_t> frontier;      // pixels painted in the previous sweep
+  std::vector<int64_t> scratch;
+  frontier.reserve(1 << 16);
+  scratch.reserve(1 << 16);
+
+  auto idx = [w](int64_t y, int64_t x) { return y * w + x; };
+  int32_t sweep = 0;
+
+  for (int lvl = 0; lvl <= max_lvl; ++lvl) {
+    // Level-start frontier: every coloured pixel (cheap and always correct;
+    // the sweep loop below immediately narrows to painted pixels).
+    frontier.clear();
+    for (int64_t i = 0; i < n; ++i)
+      if (labels[i] != 0) frontier.push_back(i);
+
+    // Jacobi sweeps to the fixed point.
+    while (!frontier.empty()) {
+      ++sweep;
+      scratch.clear();
+      // Phase 1: collect unique candidates adjacent to the frontier.
+      for (int64_t f : frontier) {
+        const int64_t y = f / w, x = f % w;
+        const int64_t nb[4] = {f - w, f + w, f - 1, f + 1};
+        const bool ok[4] = {y > 0, y < h - 1, x > 0, x < w - 1};
+        for (int k = 0; k < 4; ++k) {
+          if (!ok[k]) continue;
+          const int64_t c = nb[k];
+          const int64_t cy = c / w, cx = c % w;
+          if (cy == 0 || cy == h - 1 || cx == 0 || cx == w - 1) continue;
+          if (labels[c] != 0 || img[c] > lvl) continue;
+          if (epoch[c] == -1) continue;  // already queued this sweep
+          epoch[c] = -1;
+          scratch.push_back(c);
+        }
+      }
+      // Phase 2: paint each candidate with the min neighbour label coloured
+      // before this sweep (epoch < current), reproducing snapshot reads.
+      frontier.clear();
+      for (int64_t c : scratch) {
+        const int64_t y = c / w, x = c % w;
+        int64_t best = INT64_MAX;
+        const int64_t nb[4] = {c - w, c + w, c - 1, c + 1};
+        const bool ok[4] = {y > 0, y < h - 1, x > 0, x < w - 1};
+        for (int k = 0; k < 4; ++k) {
+          if (!ok[k]) continue;
+          const int64_t q = nb[k];
+          if (labels[q] != 0 && epoch[q] < sweep && labels[q] < best)
+            best = labels[q];
+        }
+        epoch[c] = 0;
+        if (best != INT64_MAX) {
+          labels[c] = best;
+          epoch[c] = sweep;
+          frontier.push_back(c);
+        }
+      }
+    }
+
+    if (merging) {
+      UnionFind uf(n_labels + 1);
+      bool any = false;
+      for (int64_t y = 1; y < h - 1; ++y)
+        for (int64_t x = 1; x < w - 1; ++x) {
+          const int64_t c = labels[idx(y, x)];
+          if (c == 0) continue;
+          const int64_t r = labels[idx(y, x + 1)];
+          const int64_t d = labels[idx(y + 1, x)];
+          const int64_t l = labels[idx(y, x - 1)];
+          const int64_t u = labels[idx(y - 1, x)];
+          if (r != 0 && r != c) uf.union_min(c, r), any = true;
+          if (d != 0 && d != c) uf.union_min(c, d), any = true;
+          if (l != 0 && l != c) uf.union_min(c, l), any = true;
+          if (u != 0 && u != c) uf.union_min(c, u), any = true;
+        }
+      if (any) {
+        std::vector<int64_t> lut(n_labels + 1);
+        for (int64_t i = 0; i <= n_labels; ++i) lut[i] = uf.find(i);
+        for (int64_t i = 0; i < n; ++i) labels[i] = lut[labels[i]];
+      }
+    }
+
+    if (sizes_out != nullptr) {
+      int64_t* row = sizes_out + (int64_t)lvl * (n_labels + 1);
+      std::memset(row, 0, sizeof(int64_t) * (n_labels + 1));
+      for (int64_t i = 0; i < n; ++i) ++row[labels[i]];
+    }
+  }
+  return 0;
+}
+
+// Reference find_local_minima (strict local maxima by code, Q1): writes a
+// 0/1 mask; caller extracts row-major coordinates.
+int local_extrema_oracle(const uint8_t* img, int64_t h, int64_t w,
+                         uint8_t* mask) {
+  std::memset(mask, 0, (size_t)(h * w));
+  for (int64_t y = 1; y < h - 1; ++y)
+    for (int64_t x = 1; x < w - 1; ++x) {
+      const uint8_t c = img[y * w + x];
+      bool all_less = true;
+      for (int64_t dy = -1; dy <= 1 && all_less; ++dy)
+        for (int64_t dx = -1; dx <= 1; ++dx) {
+          if (dy == 0 && dx == 0) continue;
+          if (img[(y + dy) * w + (x + dx)] >= c) {
+            all_less = false;
+            break;
+          }
+        }
+      if (all_less) mask[y * w + x] = 1;
+    }
+  return 0;
+}
+
+}  // extern "C"

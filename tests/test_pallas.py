@@ -1,5 +1,5 @@
-"""Pallas kernel tests (interpret mode on CPU): the time-tiled flood kernel
-must be bit-identical to iterated jnp sweeps and to the jnp full driver."""
+"""Pallas kernel tests (interpret mode on CPU): the time-tiled, activity-gated
+flood kernel must be bit-identical to iterated jnp sweeps and drivers."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -8,10 +8,24 @@ import pytest
 from rustronomy_watershed_tpu.ops import paint_seeds, run_levels
 from rustronomy_watershed_tpu.ops.flood import flood_sweep
 from rustronomy_watershed_tpu.ops.pallas_flood import (
+    band_histogram,
     flood_block,
+    gather_current,
     make_sweep_fn,
     pad_domain,
 )
+
+
+def _full_call(img, lab, lvl, tile, steps):
+    img_p, lab_p = pad_domain(img, lab, tile, steps)
+    gy = (img_p.shape[0] - 2 * steps) // tile
+    ones = jnp.ones((gy,), jnp.int32)
+    zeros = jnp.zeros((gy,), jnp.int32)
+    a, b, flags, chg = flood_block(
+        img_p, lab_p, lab_p * 1, lvl, ones, zeros,
+        tile=tile, steps=steps, interpret=True,
+    )
+    return gather_current(a, b, flags, tile=tile, steps=steps), flags, chg
 
 
 @pytest.mark.parametrize("tile,steps", [(16, 8), (8, 8)])
@@ -26,27 +40,52 @@ def test_flood_block_equals_k_jnp_sweeps(rng, tile, steps):
         want = flood_sweep(jnp.asarray(img).astype(jnp.int32), want, 10)
     want = np.asarray(want)
 
-    img_p, lab_p = pad_domain(img, lab, tile, steps)
-    new, _ = flood_block(img_p, lab_p, 10, tile=tile, steps=steps, interpret=True)
-    got = np.asarray(new)[steps : steps + h, steps : steps + w]
+    plane, _, _ = _full_call(img, lab, 10, tile, steps)
+    got = np.asarray(plane)[steps : steps + h, steps : steps + w]
     np.testing.assert_array_equal(got, want)
 
 
-def test_flood_block_convergence_flag(rng):
-    # Converged input -> flag False in one call (the last-sweep witness).
+def test_flood_block_flags_and_convergence(rng):
     h = w = 24
     img = np.full((h, w), 200, dtype=np.uint8)
+    # Converged input -> all flags 0, not_converged False in one call.
     lab = np.zeros((h, w), np.int32)
-    lab[1:-1, 1:-1] = 1  # fully flooded interior
-    img_p, lab_p = pad_domain(img, lab, 8, 8)
-    new, flag = flood_block(img_p, lab_p, 254, tile=8, steps=8, interpret=True)
-    assert not bool(flag)
-    # Unconverged input (long corridor) -> flag True.
+    lab[1:-1, 1:-1] = 1
+    plane, flags, chg = _full_call(img, lab, 254, 8, 8)
+    assert not bool(chg)
+    assert not np.asarray(flags).any()
+    # Unconverged (long corridor) -> flag set where painting happened.
     lab2 = np.zeros((h, w), np.int32)
     lab2[1, 1] = 1
-    _, flag2 = flood_block(img_p, jnp.asarray(pad_domain(img, lab2, 8, 8)[1]), 254,
-                           tile=8, steps=8, interpret=True)
-    assert bool(flag2)
+    plane2, flags2, chg2 = _full_call(img, lab2, 254, 8, 8)
+    assert bool(chg2)
+    assert np.asarray(flags2)[0] == 1
+
+
+def test_inactive_bands_do_not_change(rng):
+    # With an empty active set the call must be a no-op with False flags.
+    h = w = 32
+    img = rng.integers(0, 20, size=(h, w)).astype(np.uint8)
+    lab = np.asarray(paint_seeds((h, w), [(5, 5)]))
+    img_p, lab_p = pad_domain(img, lab, 8, 8)
+    gy = (img_p.shape[0] - 16) // 8
+    zeros = jnp.zeros((gy,), jnp.int32)
+    a, b, flags, chg = flood_block(
+        img_p, lab_p, lab_p * 1, 254, zeros, zeros,
+        tile=8, steps=8, interpret=True,
+    )
+    assert not bool(chg) and not np.asarray(flags).any()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(lab_p))
+
+
+def test_band_histogram(rng):
+    img = rng.integers(0, 16, size=(20, 10)).astype(np.uint8)
+    bh = np.asarray(band_histogram(img, tile=8))
+    assert bh.shape == (3, 256)
+    np.testing.assert_array_equal(bh[0, :16], np.bincount(img[:8].reshape(-1), minlength=16))
+    np.testing.assert_array_equal(bh[1, :16], np.bincount(img[8:16].reshape(-1), minlength=16))
+    # alignment padding rows counted as NEVER_FILL only
+    assert bh[2, :16].sum() == img[16:].size
 
 
 @pytest.mark.parametrize("merging", [False, True])
