@@ -53,6 +53,8 @@ class TransformBuilder:
         self.progress = False
         self.debug = False
         self.sweep_fn = None
+        self.backend = "auto"
+        self.mesh = None
 
     # ``new()`` and ``default()`` both exist in the reference purely to work
     # around Rust type inference (src/lib.rs:875-892); kept as aliases.
@@ -100,6 +102,22 @@ class TransformBuilder:
         self.sweep_fn = sweep_fn
         return self
 
+    def set_backend(self, backend: str) -> "TransformBuilder":
+        """'auto' (default: Pallas kernel on accelerators, jnp on CPU),
+        'pallas', or 'jnp' — all bit-identical."""
+        if backend not in ("auto", "pallas", "jnp"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        return self
+
+    def set_mesh(self, mesh) -> "TransformBuilder":
+        """Tile the transform over a 2-D ('y','x') jax.sharding.Mesh with
+        halo exchange over ICI (parallel.tiled_transform).  Applies to the
+        fast paths (transform / transform_to_list); hook-observed runs stay
+        single-device."""
+        self.mesh = mesh
+        return self
+
     def _validate(self):
         if self.max_water_level > NORMAL_MAX:
             raise BuildErr(BuildErr.MAX_TOO_HIGH, self.max_water_level)
@@ -116,6 +134,8 @@ class TransformBuilder:
             progress=self.progress,
             debug=self.debug,
             sweep_fn=self.sweep_fn,
+            backend=self.backend,
+            mesh=self.mesh,
         )
 
     def build_merging(self) -> MergingWatershed:

@@ -98,6 +98,8 @@ class _WatershedBase(WatershedUtils):
         progress: bool = False,
         debug: bool = False,
         sweep_fn=None,
+        backend: str = "auto",
+        mesh=None,
     ):
         self.max_water_level = int(max_water_level)
         self.edge_correction = bool(edge_correction)
@@ -107,6 +109,15 @@ class _WatershedBase(WatershedUtils):
         self.progress = progress
         self.debug = debug
         self.sweep_fn = sweep_fn
+        self.backend = backend
+        self.mesh = mesh
+
+    def _resolved_backend(self) -> str:
+        """'auto' -> the Pallas kernel on accelerators, jnp stencils on CPU
+        (where the kernel would need slow interpret mode)."""
+        if self.backend != "auto":
+            return self.backend
+        return "jnp" if jax.default_backend() == "cpu" else "pallas"
 
     # -- construction helpers -------------------------------------------------
 
@@ -120,6 +131,8 @@ class _WatershedBase(WatershedUtils):
             progress=self.progress,
             debug=self.debug,
             sweep_fn=self.sweep_fn,
+            backend=self.backend,
+            mesh=self.mesh,
         )
 
     def _prepare(self, input_img, seeds):
@@ -154,6 +167,18 @@ class _WatershedBase(WatershedUtils):
         with no useful behaviour to replicate.
         """
         img, labels0 = self._prepare(input_img, seeds)
+        if self.mesh is not None:
+            from ..parallel.tiled import tiled_transform
+
+            labels = tiled_transform(
+                img,
+                labels0,
+                self.mesh,
+                n_labels=_label_bucket(len(seeds)),
+                max_water_level=self.max_water_level,
+                merging=self._merging,
+            )
+            return np.asarray(labels)
         labels = run_levels(
             img,
             labels0,
@@ -162,8 +187,57 @@ class _WatershedBase(WatershedUtils):
             merging=self._merging,
             collect="none",
             sweep_fn=self.sweep_fn,
+            backend=self._resolved_backend(),
         )
         return np.asarray(labels)
+
+    def transform_batch(self, input_imgs, seeds_list) -> np.ndarray:
+        """Batched transform over a stack of same-shaped cutouts
+        (BASELINE config 5: 64 x 1024² cutouts across a slice).
+
+        ``seeds_list`` is one coordinate list per image.  Batching runs via
+        ``jax.vmap`` of the jitted driver; with a mesh that has a 'batch'
+        axis set on the builder, the batch is sharded over it (dp) and each
+        image additionally tiles over the mesh's ('y', 'x') axes.
+        """
+        imgs = np.asarray(input_imgs, dtype=np.uint8)
+        if imgs.ndim != 3:
+            raise ValueError("transform_batch expects (B, H, W)")
+        if len(seeds_list) != imgs.shape[0]:
+            raise ValueError("one seed list per image required")
+        if self.edge_correction:
+            imgs = np.pad(
+                imgs, ((0, 0), (1, 1), (1, 1)), constant_values=ALWAYS_FILL
+            )
+        labels0 = jnp.stack(
+            [paint_seeds(imgs.shape[1:], s) for s in seeds_list]
+        )
+        bucket = _label_bucket(max((len(s) for s in seeds_list), default=0))
+
+        if self.mesh is not None and "batch" in self.mesh.axis_names:
+            from ..parallel.tiled import tiled_transform
+
+            out = tiled_transform(
+                imgs,
+                labels0,
+                self.mesh,
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                merging=self._merging,
+                axis_batch="batch",
+            )
+            return np.asarray(out)
+
+        run = jax.vmap(
+            partial(
+                run_levels,
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                merging=self._merging,
+                collect="none",
+            )
+        )
+        return np.asarray(run(jnp.asarray(imgs), labels0))
 
     def transform_with_hook(self, input_img, seeds) -> list:
         """Run the transform, calling the configured hook each water level;
@@ -181,6 +255,7 @@ class _WatershedBase(WatershedUtils):
                 merging=self._merging,
                 collect="none",
                 sweep_fn=self.sweep_fn,
+                backend=self._resolved_backend(),
             )
             return []
         return self._host_stepped(input_img, seeds)
@@ -198,15 +273,29 @@ class _WatershedBase(WatershedUtils):
         """
         img, labels0 = self._prepare(input_img, seeds)
         bucket = _label_bucket(len(seeds))
-        _, sizes = run_levels(
-            img,
-            labels0,
-            n_labels=bucket,
-            max_water_level=self.max_water_level,
-            merging=self._merging,
-            collect="sizes",
-            sweep_fn=self.sweep_fn,
-        )
+        if self.mesh is not None:
+            from ..parallel.tiled import tiled_transform
+
+            _, sizes = tiled_transform(
+                img,
+                labels0,
+                self.mesh,
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                merging=self._merging,
+                collect="sizes",
+            )
+        else:
+            _, sizes = run_levels(
+                img,
+                labels0,
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                merging=self._merging,
+                collect="sizes",
+                sweep_fn=self.sweep_fn,
+                backend=self._resolved_backend(),
+            )
         sizes = np.asarray(sizes)
         if counts_length is None:
             counts_length = int(np.prod(img.shape)) + 1
@@ -230,6 +319,7 @@ class _WatershedBase(WatershedUtils):
             merging=self._merging,
             collect="history",
             sweep_fn=self.sweep_fn,
+            backend=self._resolved_backend(),
         )
         hist = np.asarray(hist)
         return [(lvl, hist[lvl]) for lvl in range(self.max_water_level + 1)]

@@ -115,3 +115,41 @@ def test_indivisible_shape_raises(rng):
     img, labels0, k = _case(rng, shape=(30, 30))
     with pytest.raises(ValueError):
         tiled_transform(img, labels0, make_mesh(8), n_labels=k, max_water_level=3)
+
+
+def test_model_transform_batch_and_mesh(rng):
+    from rustronomy_watershed_tpu import TransformBuilder
+
+    imgs = rng.integers(0, 10, size=(3, 16, 16)).astype(np.uint8)
+    ws = TransformBuilder.default().set_max_water_lvl(8).build_segmenting()
+    seeds_list = [ws.find_local_minima(im) for im in imgs]
+    batched = ws.transform_batch(imgs, seeds_list)
+    for i in range(3):
+        single = ws.transform(imgs[i], seeds_list[i])
+        np.testing.assert_array_equal(batched[i], single)
+
+    # mesh-routed single transform matches
+    mesh = make_mesh(8)
+    wsm = (
+        TransformBuilder.default().set_max_water_lvl(8).set_mesh(mesh).build_merging()
+    )
+    ws1 = TransformBuilder.default().set_max_water_lvl(8).build_merging()
+    img = rng.integers(0, 9, size=(32, 32)).astype(np.uint8)
+    seeds = ws1.find_local_minima(img)
+    np.testing.assert_array_equal(wsm.transform(img, seeds), ws1.transform(img, seeds))
+
+    # batch mesh axis
+    devs = np.asarray(jax.devices()).reshape(2, 2, 2)
+    bmesh = Mesh(devs, ("batch", "y", "x"))
+    wsb = (
+        TransformBuilder.default()
+        .set_max_water_lvl(8)
+        .set_mesh(bmesh)
+        .build_segmenting()
+    )
+    imgs2 = rng.integers(0, 9, size=(2, 16, 16)).astype(np.uint8)
+    seeds2 = [wsb.find_local_minima(im) for im in imgs2]
+    # pad seed lists to equal length labels via bucket; per-image seeds differ
+    out = wsb.transform_batch(imgs2, seeds2)
+    for i in range(2):
+        np.testing.assert_array_equal(out[i], ws.transform(imgs2[i], seeds2[i]))
