@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import ALWAYS_FILL, NORMAL_MAX, UNCOLOURED
-from ..ops.level_driver import level_step, run_levels
+from ..ops.level_driver import level_step, level_step_counted, run_levels
 from ..ops.preprocess import pre_process
 from ..ops.seeds import local_extrema_mask, paint_seeds
 from ..utils.perf import PerfReport
@@ -336,7 +336,7 @@ class _WatershedBase(WatershedUtils):
 
         step = jax.jit(
             partial(
-                level_step,
+                level_step_counted if self.debug else level_step,
                 merging=self._merging,
                 n_labels=bucket,
                 sweep_fn=self.sweep_fn,
@@ -344,14 +344,20 @@ class _WatershedBase(WatershedUtils):
         )
 
         bar = ProgressBar(self.max_water_level) if self.progress else None
+        if self.debug:
+            # Reference prints the initial lake count (src/lib.rs:1371-1372).
+            print(f"starting with {len(seeds) + 1} lakes")
         results = []
         for lvl in range(self.max_water_level + 1):
             perf = PerfReport() if self.debug else None
             t0 = time.perf_counter()
-            labels = step(img, labels, jnp.int32(lvl))
+            if self.debug:
+                labels, loops = step(img, labels, jnp.int32(lvl))
+            else:
+                labels = step(img, labels, jnp.int32(lvl))
             labels.block_until_ready()
             if perf is not None:
-                perf.loops = 1
+                perf.loops = int(loops)
                 perf.big_iter_ms.append(int((time.perf_counter() - t0) * 1e3))
 
             labels_np = np.asarray(labels)

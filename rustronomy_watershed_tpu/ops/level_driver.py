@@ -44,6 +44,29 @@ def level_step(img, labels, lvl, *, merging: bool, n_labels: int, sweep_fn=None)
     return labels
 
 
+def level_step_counted(img, labels, lvl, *, merging: bool, n_labels: int, sweep_fn=None):
+    """level_step that also returns the flood-sweep count of the level (the
+    reference's PerfReport 'loops' counter, src/lib.rs:1400-1402)."""
+    from .flood import flood_sweep
+
+    sweep = sweep_fn or flood_sweep
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        lab, _, n = state
+        new = sweep(img, lab, lvl)
+        return new, jnp.any(new != lab), n + 1
+
+    labels, _, loops = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0))
+    )
+    if merging:
+        labels = merge_touching(labels, n_labels)
+    return labels, loops
+
+
 def _collect_loop(step, labels0, *, levels, vhist, collect, n_labels, real_of):
     """Shared level loop: run `step` per level, accumulate statistics.
 
