@@ -55,6 +55,8 @@ class TransformBuilder:
         self.sweep_fn = None
         self.backend = "auto"
         self.mesh = None
+        self.checkpoint_dir = None
+        self.checkpoint_every = 16
 
     # ``new()`` and ``default()`` both exist in the reference purely to work
     # around Rust type inference (src/lib.rs:875-892); kept as aliases.
@@ -110,6 +112,15 @@ class TransformBuilder:
         self.backend = backend
         return self
 
+    def set_checkpoint(self, directory, every: int = 16) -> "TransformBuilder":
+        """Snapshot (water_level, labels) every N levels (orbax) on the
+        host-stepped path and resume bit-exactly from the newest snapshot
+        (no reference counterpart — SURVEY.md §5 lists checkpoint/resume as
+        absent upstream)."""
+        self.checkpoint_dir = directory
+        self.checkpoint_every = every
+        return self
+
     def set_mesh(self, mesh) -> "TransformBuilder":
         """Tile the transform over a 2-D ('y','x') jax.sharding.Mesh with
         halo exchange over ICI (parallel.tiled_transform).  Applies to the
@@ -136,6 +147,8 @@ class TransformBuilder:
             sweep_fn=self.sweep_fn,
             backend=self.backend,
             mesh=self.mesh,
+            checkpoint_dir=self.checkpoint_dir,
+            checkpoint_every=self.checkpoint_every,
         )
 
     def build_merging(self) -> MergingWatershed:

@@ -100,6 +100,8 @@ class _WatershedBase(WatershedUtils):
         sweep_fn=None,
         backend: str = "auto",
         mesh=None,
+        checkpoint_dir=None,
+        checkpoint_every: int = 16,
     ):
         self.max_water_level = int(max_water_level)
         self.edge_correction = bool(edge_correction)
@@ -111,6 +113,8 @@ class _WatershedBase(WatershedUtils):
         self.sweep_fn = sweep_fn
         self.backend = backend
         self.mesh = mesh
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
 
     def _resolved_backend(self) -> str:
         """'auto' -> the Pallas kernel on accelerators, jnp stencils on CPU
@@ -133,6 +137,8 @@ class _WatershedBase(WatershedUtils):
             sweep_fn=self.sweep_fn,
             backend=self.backend,
             mesh=self.mesh,
+            checkpoint_dir=self.checkpoint_dir,
+            checkpoint_every=self.checkpoint_every,
         )
 
     def _prepare(self, input_img, seeds):
@@ -153,6 +159,7 @@ class _WatershedBase(WatershedUtils):
             or self.plot_path is not None
             or self.progress
             or self.debug
+            or self.checkpoint_dir is not None
         )
 
     # -- core API --------------------------------------------------------------
@@ -347,8 +354,21 @@ class _WatershedBase(WatershedUtils):
         if self.debug:
             # Reference prints the initial lake count (src/lib.rs:1371-1372).
             print(f"starting with {len(seeds) + 1} lakes")
+
+        ckpt = None
+        start_lvl = 0
+        if self.checkpoint_dir is not None:
+            from ..utils.checkpoint import TransformCheckpointer
+
+            ckpt = TransformCheckpointer(self.checkpoint_dir, self.checkpoint_every)
+            latest = ckpt.latest()
+            if latest is not None:
+                start_lvl, lab_np = latest
+                labels = jnp.asarray(lab_np)
+                start_lvl += 1  # resume at the level after the snapshot
+
         results = []
-        for lvl in range(self.max_water_level + 1):
+        for lvl in range(start_lvl, self.max_water_level + 1):
             perf = PerfReport() if self.debug else None
             t0 = time.perf_counter()
             if self.debug:
@@ -361,6 +381,8 @@ class _WatershedBase(WatershedUtils):
                 perf.big_iter_ms.append(int((time.perf_counter() - t0) * 1e3))
 
             labels_np = np.asarray(labels)
+            if ckpt is not None:
+                ckpt.maybe_save(lvl, labels_np)
             if self.plot_path is not None:
                 self._plot_level(labels_np, lvl)
             if perf is not None:
@@ -379,6 +401,8 @@ class _WatershedBase(WatershedUtils):
                 results.append(self.wlvl_hook(ctx))
         if bar is not None:
             bar.finish()
+        if ckpt is not None:
+            ckpt.wait()
         return results
 
     def _plot_level(self, labels_np: np.ndarray, lvl: int):

@@ -157,3 +157,45 @@ def test_perf_report_format():
     p = PerfReport(big_iter_ms=[2, 4], colouring_mus=[100, 300], loops=2, total_ms=10)
     s = str(p)
     assert "Looped 2x" in s and "3.0ms" in s and "200.0µs" in s
+
+
+def test_checkpoint_resume(tmp_path, rng):
+    img = rng.integers(0, 10, size=(12, 12)).astype(np.uint8)
+    base = TransformBuilder.default().set_max_water_lvl(9).build_segmenting()
+    seeds = base.find_local_minima(img)
+    full = base.transform(img, seeds)
+
+    # "Interrupted" run: levels 0..5 only, snapshots at 0 and 3.
+    ws = (
+        TransformBuilder.default()
+        .set_max_water_lvl(5)
+        .set_checkpoint(tmp_path, every=3)
+        .set_wlvl_hook(lambda ctx: ctx.water_level)
+        .build_segmenting()
+    )
+    assert ws.transform_with_hook(img, seeds) == list(range(6))
+
+    # Resumed run to level 9 starts after the newest snapshot (level 3) and
+    # reproduces the uninterrupted result bit-exactly.
+    hook_levels = []
+    ws2 = (
+        TransformBuilder.default()
+        .set_max_water_lvl(9)
+        .set_checkpoint(tmp_path, every=3)
+        .set_wlvl_hook(
+            lambda ctx: hook_levels.append(ctx.water_level) or ctx.colours.copy()
+        )
+        .build_segmenting()
+    )
+    out2 = ws2.transform_with_hook(img, seeds)
+    assert hook_levels[0] == 4  # resumed after the level-3 snapshot
+    np.testing.assert_array_equal(out2[-1], full)
+
+
+def test_tracing_context(tmp_path, rng):
+    from rustronomy_watershed_tpu.utils.tracing import trace
+
+    img = rng.integers(0, 5, size=(8, 8)).astype(np.uint8)
+    ws = TransformBuilder.default().set_max_water_lvl(3).build_segmenting()
+    with trace(tmp_path):
+        ws.transform(img, ws.find_local_minima(img))
