@@ -64,19 +64,25 @@ def flood_fixed_point(img: jnp.ndarray, labels: jnp.ndarray, lvl, sweep_fn=None)
     accelerated (Pallas / multi-step) sweep; it must be semantically equal to
     ``flood_sweep`` iterated >= 1 times (information moves <=1 px per sweep,
     so any k-step fusion reaches the same fixed point).
+
+    Returns (labels, painted_any): whether this level painted any pixel —
+    when False, the merge phase can be skipped (no labels changed, so no new
+    label adjacencies can exist).
     """
     if sweep_fn is None:
         sweep_fn = flood_sweep
 
     def cond(state):
-        _, changed = state
-        return changed
+        return state[1]
 
     def body(state):
-        lab, _ = state
+        lab, _, painted = state
         new = sweep_fn(img, lab, lvl)
-        return new, jnp.any(new != lab)
+        changed = jnp.any(new != lab)
+        return new, changed, painted | changed
 
     # Do-while: always run at least one sweep per level, like the reference.
-    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True)))
-    return labels
+    labels, _, painted = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.bool_(False))
+    )
+    return labels, painted

@@ -37,10 +37,19 @@ from .merge import merge_touching
 
 
 def level_step(img, labels, lvl, *, merging: bool, n_labels: int, sweep_fn=None):
-    """One complete water level: flood to fixed point (+ merge)."""
-    labels = flood_fixed_point(img, labels, lvl, sweep_fn=sweep_fn)
+    """One complete water level: flood to fixed point (+ merge).
+
+    The merge phase is skipped when the level painted nothing (labels
+    unchanged => no new label adjacencies), except at level 0 where
+    pre-painted seeds may already touch."""
+    labels, painted = flood_fixed_point(img, labels, lvl, sweep_fn=sweep_fn)
     if merging:
-        labels = merge_touching(labels, n_labels)
+        labels = jax.lax.cond(
+            painted | (lvl == 0),
+            lambda l: merge_touching(l, n_labels),
+            lambda l: l,
+            labels,
+        )
     return labels
 
 
@@ -200,19 +209,25 @@ def run_levels(
         def step(state, lvl):
             a, b, cur = state
             first_active = (bhist[:, lvl] > 0).astype(jnp.int32)
-            a, b, cur = flood_fixed_point_padded(
+            a, b, cur, painted = flood_fixed_point_padded(
                 img_pad, a, b, cur, lvl, first_active,
                 tile=tile, steps=steps, interpret=interpret,
             )
             if merging:
-                state = (a, b, cur)
-                merged = merge_touching(real_of(state), n_labels)
-                plane = jax.lax.dynamic_update_slice(
-                    gather_current(a, b, cur, tile=tile, steps=steps),
-                    merged,
-                    (steps, steps),
+
+                def do_merge(state):
+                    a, b, cur = state
+                    merged = merge_touching(real_of(state), n_labels)
+                    plane = jax.lax.dynamic_update_slice(
+                        gather_current(a, b, cur, tile=tile, steps=steps),
+                        merged,
+                        (steps, steps),
+                    )
+                    return plane, plane * 1, jnp.zeros((gy,), jnp.int32)
+
+                return jax.lax.cond(
+                    painted | (lvl == 0), do_merge, lambda s: s, (a, b, cur)
                 )
-                return plane, plane * 1, jnp.zeros((gy,), jnp.int32)
             return a, b, cur
 
         return _collect_loop(

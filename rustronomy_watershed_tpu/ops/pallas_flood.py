@@ -380,24 +380,27 @@ def flood_fixed_point_padded(
 
     ``first_active``: (gy,) int32 — bands that may flood at this level's
     first call (bands containing a pixel of value exactly lvl).
-    Returns (buf_a, buf_b, cur).
+    Returns (buf_a, buf_b, cur, painted_any).
     """
 
     def cond(state):
         return state[4]
 
     def body(state):
-        a, b, cur, active, _ = state
+        a, b, cur, active, _, painted = state
         a, b, flags, not_conv = flood_block(
             img_pad, a, b, lvl, active, cur, tile=tile, steps=steps, interpret=interpret
         )
         cur = cur ^ flags
-        return a, b, cur, _dilate_flags(flags), not_conv
+        painted = painted | jnp.any(flags != 0)
+        return a, b, cur, _dilate_flags(flags), not_conv, painted
 
-    a, b, cur, _, _ = jax.lax.while_loop(
-        cond, body, (buf_a, buf_b, cur, first_active, jnp.bool_(True))
+    a, b, cur, _, _, painted = jax.lax.while_loop(
+        lambda s: s[4],
+        body,
+        (buf_a, buf_b, cur, first_active, jnp.bool_(True), jnp.bool_(False)),
     )
-    return a, b, cur
+    return a, b, cur, painted
 
 
 def make_sweep_fn(
@@ -413,7 +416,7 @@ def make_sweep_fn(
         ones = jnp.ones((gy,), jnp.int32)
         zeros = jnp.zeros((gy,), jnp.int32)
         a, b, flags, _ = flood_block(
-            img_pad, lab_pad, lab_pad, lvl, ones, zeros,
+            img_pad, lab_pad, lab_pad * 1, lvl, ones, zeros,
             tile=tile, steps=steps, interpret=interpret,
         )
         new = gather_current(a, b, flags, tile=tile, steps=steps)

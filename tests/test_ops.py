@@ -97,7 +97,9 @@ def test_flood_fixed_point_plateau_rings():
     lab = np.zeros((5, 7), dtype=np.int32)
     lab[2, 1] = 2
     lab[2, 5] = 1
-    out = np.asarray(flood_fixed_point(jnp.asarray(img), jnp.asarray(lab), 0))
+    out, painted = flood_fixed_point(jnp.asarray(img), jnp.asarray(lab), 0)
+    out = np.asarray(out)
+    assert bool(painted)
     assert out[2, 2] == 2 and out[2, 4] == 1
     assert out[2, 3] == 1  # tie at BFS distance 2 from both -> min label
     assert out[1, 1] == 2 and out[3, 1] == 2
