@@ -18,6 +18,25 @@ import os
 import sys
 import time
 
+# Self-heal against zombie TPU-tunnel claims: re-exec once under ``python -S``
+# and register a finite-claim session (see tools/axon_boot.py).  A plain
+# environment (no axon plugin) is unaffected — boot() is a no-op there.
+if (
+    os.environ.get("JAX_PLATFORMS") == "axon"
+    and os.environ.get("RWT_AXON_BOOTED") != "1"
+    and os.path.exists("/opt/axon/libaxon_pjrt.so")
+):
+    env = dict(os.environ, RWT_AXON_BOOTED="1")
+    os.execve(
+        sys.executable, [sys.executable, "-S", os.path.abspath(__file__)], env
+    )
+
+if os.environ.get("RWT_AXON_BOOTED") == "1":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.axon_boot import boot
+
+    boot()
+
 import numpy as np
 
 
