@@ -120,6 +120,7 @@ def _flood_kernel(
     *,
     tile,
     steps,
+    pipelined,
 ):
     t, p = tile, steps
     win = t + 2 * p
@@ -181,14 +182,7 @@ def _flood_kernel(
                 sems.at[s, k + 1],
             ).wait()
 
-    # NOTE on pipelining: issuing band i+1's DMAs during band i's step with
-    # activity-conditional issue/wait pairing deadlocked the hardware DMA
-    # engine (semaphore flow must be unconditional across grid steps).  Until
-    # a safe cross-band prefetch lands, active bands fetch-and-wait in-step.
-    @pl.when(active_ref[i] > 0)
-    def _():
-        start_in_dmas(slot, i)
-        wait_in_dmas(slot, i)
+    def compute_and_write():
         row0 = i * t
 
         # --- P fused sweeps.
@@ -270,8 +264,37 @@ def _flood_kernel(
                     sems.at[slot, 4],
                 ).wait()
 
+    if pipelined:
+        # Dense mode: UNCONDITIONAL cross-band DMA pipelining (band i+1's
+        # window prefetches during band i's compute).  The semaphore flow is
+        # static — only the DMA *source* (A vs B per region) is
+        # data-dependent, which is the hardware-proven in-step pattern.
+        # Activity only gates compute/writes (pure VPU + in-step DMAs).
+        # NOTE: conditional cross-step issue/wait pairing (skipping the
+        # prefetch for inactive bands) deadlocks the DMA engine — do not.
+        @pl.when(i == 0)
+        def _():
+            start_in_dmas(slot, i)
 
-@partial(jax.jit, static_argnames=("tile", "steps", "interpret"))
+        @pl.when(i + 1 < gy)
+        def _():
+            start_in_dmas(nslot, i + 1)
+
+        wait_in_dmas(slot, i)
+
+        @pl.when(active_ref[i] > 0)
+        def _():
+            compute_and_write()
+    else:
+        # Sparse mode: only active bands touch HBM at all.
+        @pl.when(active_ref[i] > 0)
+        def _():
+            start_in_dmas(slot, i)
+            wait_in_dmas(slot, i)
+            compute_and_write()
+
+
+@partial(jax.jit, static_argnames=("tile", "steps", "interpret", "pipelined"))
 def flood_block(
     img_pad,
     buf_a,
@@ -283,6 +306,7 @@ def flood_block(
     tile=DEFAULT_TILE,
     steps=DEFAULT_STEPS,
     interpret=False,
+    pipelined=False,
 ):
     """One activity-gated kernel call of `steps` fused sweeps.
 
@@ -330,7 +354,7 @@ def flood_block(
     curp = jnp.concatenate([cur[:1], cur, cur[-1:]])
 
     buf_a2, buf_b2, flags, chg = pl.pallas_call(
-        partial(_flood_kernel, tile=tile, steps=steps),
+        partial(_flood_kernel, tile=tile, steps=steps, pipelined=pipelined),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
@@ -388,8 +412,19 @@ def flood_fixed_point_padded(
 
     def body(state):
         a, b, cur, active, _, painted = state
-        a, b, flags, not_conv = flood_block(
-            img_pad, a, b, lvl, active, cur, tile=tile, steps=steps, interpret=interpret
+        gy = active.shape[0]
+        # Dense calls (>1/3 of bands active — e.g. a level's first call on a
+        # noisy field) use the DMA-pipelined kernel; sparse calls skip idle
+        # bands' HBM traffic entirely.
+        a, b, flags, not_conv = jax.lax.cond(
+            jnp.sum(active) * 3 > gy,
+            lambda args: flood_block(
+                *args, tile=tile, steps=steps, interpret=interpret, pipelined=True
+            ),
+            lambda args: flood_block(
+                *args, tile=tile, steps=steps, interpret=interpret, pipelined=False
+            ),
+            (img_pad, a, b, lvl, active, cur),
         )
         cur = cur ^ flags
         painted = painted | jnp.any(flags != 0)

@@ -119,3 +119,28 @@ def test_pallas_sweep_fn_dropin(rng):
                    merging=False, sweep_fn=sw)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_pipelined_dense_kernel_matches_sparse(rng):
+    h, w = 40, 52
+    img = rng.integers(0, 20, size=(h, w)).astype(np.uint8)
+    seeds = [(5, 5), (30, 33), (17, 22), (1, 1)]
+    lab = np.asarray(paint_seeds((h, w), seeds))
+    img_p, lab_p = pad_domain(img, lab, 8, 8)
+    gy = (img_p.shape[0] - 16) // 8
+    ones = jnp.ones((gy,), jnp.int32)
+    zeros = jnp.zeros((gy,), jnp.int32)
+    outs = {}
+    for pipelined in (False, True):
+        a, b, flags, chg = flood_block(
+            img_p, lab_p, lab_p * 1, 10, ones, zeros,
+            tile=8, steps=8, interpret=True, pipelined=pipelined,
+        )
+        outs[pipelined] = (
+            np.asarray(gather_current(a, b, flags, tile=8, steps=8)),
+            np.asarray(flags),
+            bool(chg),
+        )
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
+    assert outs[False][2] == outs[True][2]
