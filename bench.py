@@ -51,6 +51,8 @@ def main():
     merging = os.environ.get("BENCH_MERGING", "0") == "1"
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    tile = int(os.environ.get("BENCH_TILE", "64"))
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 254, size=(size, size)).astype(np.uint8)
@@ -58,7 +60,10 @@ def main():
     checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float64 if False else jnp.float32)))
 
     def run():
-        out = watershed_e2e(img, max_water_level=max_lvl, merging=merging, backend=backend)
+        out = watershed_e2e(
+            img, max_water_level=max_lvl, merging=merging, backend=backend,
+            tile=tile, steps=steps,
+        )
         return float(checksum(out))
 
     chk = run()  # compile + warm

@@ -279,3 +279,15 @@ def test_lake_sizes_and_value_histogram():
     assert vh[0] == np.sum(FIND_PX_IMG == 0)
     assert vh[5] == np.sum(FIND_PX_IMG == 5)
     assert vh.sum() == FIND_PX_IMG.size
+
+
+def test_count_fixed_point_iterations(rng):
+    from rustronomy_watershed_tpu.ops.diagnostics import count_fixed_point_iterations
+
+    img = rng.integers(0, 10, size=(16, 16)).astype(np.uint8)
+    total, mx, counts = count_fixed_point_iterations(img, max_water_level=9)
+    counts = np.asarray(counts)
+    assert counts.shape == (10,)
+    assert int(total) == counts.sum() and int(mx) == counts.max()
+    # every level runs at least the no-change detection sweep
+    assert (counts[np.bincount(img.reshape(-1), minlength=10)[:10] > 0] >= 1).all()
