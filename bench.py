@@ -49,7 +49,9 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "4096"))
     max_lvl = int(os.environ.get("BENCH_LEVELS", "254"))
     merging = os.environ.get("BENCH_MERGING", "0") == "1"
-    backend = os.environ.get("BENCH_BACKEND", "pallas")
+    backend = os.environ.get(
+        "BENCH_BACKEND", "pallas" if merging else "relax"
+    )
     reps = int(os.environ.get("BENCH_REPS", "3"))
     tile = int(os.environ.get("BENCH_TILE", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))

@@ -105,9 +105,10 @@ class TransformBuilder:
         return self
 
     def set_backend(self, backend: str) -> "TransformBuilder":
-        """'auto' (default: Pallas kernel on accelerators, jnp on CPU),
-        'pallas', or 'jnp' — all bit-identical."""
-        if backend not in ("auto", "pallas", "jnp"):
+        """'auto' (default: priority relaxation for segmenting; Pallas
+        level-sweep kernel for merging on accelerators, jnp on CPU),
+        'relax' (segmenting-only), 'pallas', or 'jnp' — all bit-identical."""
+        if backend not in ("auto", "relax", "pallas", "jnp"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         return self

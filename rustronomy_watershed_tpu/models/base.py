@@ -117,10 +117,13 @@ class _WatershedBase(WatershedUtils):
         self.checkpoint_every = checkpoint_every
 
     def _resolved_backend(self) -> str:
-        """'auto' -> the Pallas kernel on accelerators, jnp stencils on CPU
-        (where the kernel would need slow interpret mode)."""
+        """'auto': the priority-relaxation engine for segmenting (fastest and
+        bit-identical); for merging, the Pallas level-sweep kernel on
+        accelerators and jnp stencils on CPU."""
         if self.backend != "auto":
             return self.backend
+        if not self._merging:
+            return "relax"
         return "jnp" if jax.default_backend() == "cpu" else "pallas"
 
     # -- construction helpers -------------------------------------------------

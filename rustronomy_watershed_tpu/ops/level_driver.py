@@ -166,6 +166,34 @@ def run_levels(
     img = jnp.asarray(img).astype(jnp.int32)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
     levels = max_water_level + 1
+
+    if backend == "relax":
+        # Segmenting-only: the whole transform as ONE priority-relaxation
+        # fixed point (ops.priority) — bit-identical to the level sweep, in
+        # O(longest claim chain) whole-image passes instead of the per-level
+        # ring sums (measured: 29 vs ~3100 sweeps on a 4096^2 random field).
+        if merging:
+            raise ValueError(
+                "backend='relax' is segmenting-only (merging recolours "
+                "claimed pixels); use 'pallas' or 'jnp'"
+            )
+        from .priority import relax_transform, sizes_from_levels
+
+        labels, claim_levels = relax_transform(
+            img, labels0, max_water_level=max_water_level
+        )
+        if collect == "none":
+            return labels
+        if collect == "sizes":
+            return labels, sizes_from_levels(
+                labels, claim_levels, n_labels, max_water_level
+            )
+        if collect == "history":
+            lvls = jnp.arange(levels, dtype=jnp.int32)[:, None, None]
+            hist = jnp.where(claim_levels[None] <= lvls, labels[None], 0)
+            return labels, hist
+        raise ValueError(f"unknown collect mode {collect!r}")
+
     vhist = value_histogram(img)
 
     if backend == "jnp":

@@ -1,0 +1,120 @@
+"""Priority-relaxation engine: must be BIT-IDENTICAL to the level-sweep
+driver (which is itself parity-checked against the reference oracles)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustronomy_watershed_tpu.ops import paint_seeds, run_levels
+from rustronomy_watershed_tpu.ops.priority import (
+    relax_transform,
+    sizes_from_levels,
+)
+from rustronomy_watershed_tpu.ops.seeds import local_extrema_mask, seed_labels_from_mask
+
+
+def _seeds_of(img):
+    return [tuple(c) for c in np.argwhere(np.asarray(local_extrema_mask(jnp.asarray(img))))]
+
+
+@pytest.mark.parametrize("hi,shape,maxlvl", [
+    (12, (20, 20), 10),       # generic random
+    (4, (24, 24), 3),         # plateau-heavy (long rings, heavy ties)
+    (254, (24, 24), 254),     # full level range
+    (40, (16, 28), 30),       # non-square, partial levels
+])
+def test_relax_matches_level_sweep(rng, hi, shape, maxlvl):
+    img = rng.integers(0, hi, size=shape).astype(np.uint8)
+    seeds = _seeds_of(img)
+    if not seeds:
+        seeds = [(2, 2)]
+    lab0 = paint_seeds(shape, seeds)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=len(seeds),
+                   max_water_level=maxlvl, merging=False)
+    )
+    got, L = relax_transform(jnp.asarray(img), lab0, max_water_level=maxlvl)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_relax_never_fill_and_border(rng):
+    img = rng.integers(0, 20, size=(18, 18)).astype(np.uint8)
+    img[7, 7] = 255
+    seeds = [(3, 3), (14, 14), (0, 5)]  # includes a border seed
+    lab0 = paint_seeds(img.shape, seeds)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=3, max_water_level=254,
+                   merging=False)
+    )
+    got, L = relax_transform(jnp.asarray(img), lab0, max_water_level=254)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert np.asarray(got)[7, 7] == 0  # NEVER_FILL survives
+
+
+def test_relax_adjacent_seeds(rng):
+    img = rng.integers(0, 9, size=(12, 12)).astype(np.uint8)
+    seeds = [(5, 5), (5, 6), (6, 5)]  # touching seeds stay distinct
+    lab0 = paint_seeds(img.shape, seeds)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=3, max_water_level=8,
+                   merging=False)
+    )
+    got, _ = relax_transform(jnp.asarray(img), lab0, max_water_level=8)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    for i, (y, x) in enumerate(seeds, start=1):
+        assert np.asarray(got)[y, x] == i
+
+
+def test_sizes_from_levels_matches_collect(rng):
+    img = rng.integers(0, 10, size=(16, 16)).astype(np.uint8)
+    mask = local_extrema_mask(jnp.asarray(img))
+    lab0 = seed_labels_from_mask(mask)
+    k = int(np.asarray(mask).sum())
+    _, want_sizes = run_levels(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=9,
+        merging=False, collect="sizes",
+    )
+    got, L = relax_transform(jnp.asarray(img), lab0, max_water_level=9)
+    sizes = sizes_from_levels(got, L, k, 9)
+    np.testing.assert_array_equal(np.asarray(sizes), np.asarray(want_sizes))
+
+
+def test_relax_sweep_count_reported(rng):
+    img = rng.integers(0, 10, size=(16, 16)).astype(np.uint8)
+    lab0 = paint_seeds(img.shape, [(4, 4), (12, 12)])
+    got, L, n = relax_transform(
+        jnp.asarray(img), lab0, max_water_level=9, collect_sweeps=True
+    )
+    assert int(n) >= 2
+
+
+def test_relax_backend_via_run_levels_and_model(rng):
+    from rustronomy_watershed_tpu import TransformBuilder
+
+    img = rng.integers(0, 12, size=(18, 18)).astype(np.uint8)
+    ws = TransformBuilder.default().set_max_water_lvl(10).build_segmenting()
+    seeds = ws.find_local_minima(img)
+    lab0 = paint_seeds(img.shape, seeds)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=len(seeds),
+                   max_water_level=10, merging=False)
+    )
+    got = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=len(seeds),
+                   max_water_level=10, merging=False, backend="relax")
+    )
+    np.testing.assert_array_equal(got, want)
+    # model auto backend resolves to relax for segmenting
+    assert ws._resolved_backend() == "relax"
+    np.testing.assert_array_equal(ws.transform(img, seeds), want)
+    # history via relax matches the level-sweep history
+    _, hist_want = run_levels(jnp.asarray(img), lab0, n_labels=len(seeds),
+                              max_water_level=10, merging=False, collect="history")
+    _, hist_got = run_levels(jnp.asarray(img), lab0, n_labels=len(seeds),
+                             max_water_level=10, merging=False,
+                             collect="history", backend="relax")
+    np.testing.assert_array_equal(np.asarray(hist_got), np.asarray(hist_want))
+    # merging + relax is rejected
+    with pytest.raises(ValueError):
+        run_levels(jnp.asarray(img), lab0, n_labels=2, max_water_level=5,
+                   merging=True, backend="relax")
