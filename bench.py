@@ -50,14 +50,19 @@ def main():
     max_lvl = int(os.environ.get("BENCH_LEVELS", "254"))
     merging = os.environ.get("BENCH_MERGING", "0") == "1"
     backend = os.environ.get(
-        "BENCH_BACKEND", "pallas" if merging else "relax"
+        "BENCH_BACKEND", "pallas" if merging else "relax_pallas"
     )
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    tile = int(os.environ.get("BENCH_TILE", "64"))
+    tile = int(os.environ.get("BENCH_TILE", "64" if merging else "256"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 254, size=(size, size)).astype(np.uint8)
+    # Stage the input on-device once: the tunnelled host->device link runs at
+    # ~50 MB/s and would otherwise dominate the measurement (a 4096^2 u8
+    # upload costs ~350 ms vs ~30 ms of on-chip compute).
+    img = jax.device_put(jnp.asarray(img))
+    jax.block_until_ready(img)
 
     checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float64 if False else jnp.float32)))
 

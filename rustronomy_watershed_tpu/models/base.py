@@ -123,7 +123,7 @@ class _WatershedBase(WatershedUtils):
         if self.backend != "auto":
             return self.backend
         if not self._merging:
-            return "relax"
+            return "relax" if jax.default_backend() == "cpu" else "relax_pallas"
         return "jnp" if jax.default_backend() == "cpu" else "pallas"
 
     # -- construction helpers -------------------------------------------------

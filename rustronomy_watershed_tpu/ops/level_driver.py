@@ -167,11 +167,12 @@ def run_levels(
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
     levels = max_water_level + 1
 
-    if backend == "relax":
+    if backend in ("relax", "relax_pallas"):
         # Segmenting-only: the whole transform as ONE priority-relaxation
-        # fixed point (ops.priority) — bit-identical to the level sweep, in
-        # O(longest claim chain) whole-image passes instead of the per-level
-        # ring sums (measured: 29 vs ~3100 sweeps on a 4096^2 random field).
+        # fixed point (ops.priority / ops.pallas_relax) — bit-identical to
+        # the level sweep, in O(longest claim chain) whole-image passes
+        # instead of the per-level ring sums (measured: 29 vs ~3100 sweeps
+        # on a 4096^2 random field).
         if merging:
             raise ValueError(
                 "backend='relax' is segmenting-only (merging recolours "
@@ -179,9 +180,17 @@ def run_levels(
             )
         from .priority import relax_transform, sizes_from_levels
 
-        labels, claim_levels = relax_transform(
-            img, labels0, max_water_level=max_water_level
-        )
+        if backend == "relax_pallas":
+            from .pallas_relax import relax_transform_pallas
+
+            labels, claim_levels = relax_transform_pallas(
+                img, labels0, max_water_level=max_water_level,
+                tile=tile, steps=steps, interpret=interpret,
+            )
+        else:
+            labels, claim_levels = relax_transform(
+                img, labels0, max_water_level=max_water_level
+            )
         if collect == "none":
             return labels
         if collect == "sizes":

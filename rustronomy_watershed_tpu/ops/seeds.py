@@ -18,6 +18,7 @@ Two entry points:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .stencil import interior_mask, roll8
@@ -46,10 +47,25 @@ def local_extrema_mask(img: jnp.ndarray, mode: str = "reference") -> jnp.ndarray
 
 
 def seed_labels_from_mask(mask: jnp.ndarray) -> jnp.ndarray:
-    """Label image with seeds numbered 1..K in row-major order, 0 elsewhere."""
-    flat = mask.reshape(-1)
-    ranks = jnp.cumsum(flat.astype(jnp.int32))  # inclusive scan: rank at seed
-    return jnp.where(flat, ranks, jnp.int32(0)).reshape(mask.shape)
+    """Label image with seeds numbered 1..K in row-major order, 0 elsewhere.
+
+    Prefix sums run on the MXU: scans (jnp.cumsum) serialise on TPU (hundreds
+    of ms for a 4096² plane), while ``mask @ triangular_ones`` is one matmul.
+    f32 accumulation is integer-exact here (counts <= H*W < 2^24 per dot).
+    """
+    h, w = mask.shape[-2], mask.shape[-1]
+    m = mask.astype(jnp.float32)
+    rows_idx = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    cols_idx = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    incl_tri = (rows_idx <= cols_idx).astype(jnp.float32)  # k <= j
+    within = jnp.dot(m, incl_tri, preferred_element_type=jnp.float32)
+    row_tot = within[..., -1]
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+    c1 = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+    strict_tri = (r1 < c1).astype(jnp.float32)  # k < i
+    row_off = jnp.dot(row_tot, strict_tri, preferred_element_type=jnp.float32)
+    ranks = (within + row_off[..., None]).astype(jnp.int32)
+    return jnp.where(mask, ranks, jnp.int32(0))
 
 
 def paint_seeds(shape: tuple[int, int], seeds) -> jnp.ndarray:

@@ -118,3 +118,42 @@ def test_relax_backend_via_run_levels_and_model(rng):
     with pytest.raises(ValueError):
         run_levels(jnp.asarray(img), lab0, n_labels=2, max_water_level=5,
                    merging=True, backend="relax")
+
+
+@pytest.mark.parametrize("shape,hi,maxlvl", [((40, 52), 20, 18), ((24, 24), 4, 3)])
+def test_relax_pallas_matches_jnp_relax(rng, shape, hi, maxlvl):
+    from rustronomy_watershed_tpu.ops.pallas_relax import relax_transform_pallas
+
+    img = rng.integers(0, hi, size=shape).astype(np.uint8)
+    seeds = _seeds_of(img) or [(2, 2)]
+    lab0 = paint_seeds(shape, seeds)
+    want_lab, want_L = relax_transform(jnp.asarray(img), lab0, max_water_level=maxlvl)
+    got_lab, got_L = relax_transform_pallas(
+        jnp.asarray(img), lab0, max_water_level=maxlvl, tile=8, steps=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_lab), np.asarray(want_lab))
+    # claim levels agree wherever a pixel was legitimately claimed
+    claimed = np.asarray(want_L) <= 255
+    np.testing.assert_array_equal(
+        np.asarray(got_L)[claimed & (np.asarray(want_L) <= maxlvl)],
+        np.asarray(want_L)[claimed & (np.asarray(want_L) <= maxlvl)],
+    )
+
+
+def test_relax_pallas_backend_through_run_levels(rng):
+    img = rng.integers(0, 10, size=(30, 34)).astype(np.uint8)
+    seeds = [(3, 3), (20, 28), (15, 9)]
+    lab0 = paint_seeds(img.shape, seeds)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=3, max_water_level=9, merging=False)
+    )
+    got, sizes = run_levels(
+        jnp.asarray(img), lab0, n_labels=3, max_water_level=9, merging=False,
+        backend="relax_pallas", tile=8, steps=8, interpret=True, collect="sizes",
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    _, want_sizes = run_levels(
+        jnp.asarray(img), lab0, n_labels=3, max_water_level=9, merging=False,
+        collect="sizes",
+    )
+    np.testing.assert_array_equal(np.asarray(sizes), np.asarray(want_sizes))
