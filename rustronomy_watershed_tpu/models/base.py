@@ -116,15 +116,16 @@ class _WatershedBase(WatershedUtils):
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
 
-    def _resolved_backend(self) -> str:
-        """'auto': the priority-relaxation engine for segmenting (fastest and
-        bit-identical); for merging, the Pallas level-sweep kernel on
-        accelerators and jnp stencils on CPU."""
+    def _resolved_backend(self, collect: str = "none") -> str:
+        """'auto': the priority-relaxation engine wherever it applies
+        (segmenting always; merging final-label transforms), else the
+        level-sweep backends (Pallas kernel on accelerators, jnp on CPU)."""
         if self.backend != "auto":
             return self.backend
-        if not self._merging:
-            return "relax" if jax.default_backend() == "cpu" else "relax_pallas"
-        return "jnp" if jax.default_backend() == "cpu" else "pallas"
+        cpu = jax.default_backend() == "cpu"
+        if not self._merging or collect == "none":
+            return "relax" if cpu else "relax_pallas"
+        return "jnp" if cpu else "pallas"
 
     # -- construction helpers -------------------------------------------------
 
@@ -304,7 +305,7 @@ class _WatershedBase(WatershedUtils):
                 merging=self._merging,
                 collect="sizes",
                 sweep_fn=self.sweep_fn,
-                backend=self._resolved_backend(),
+                backend=self._resolved_backend("sizes"),
             )
         sizes = np.asarray(sizes)
         if counts_length is None:
@@ -329,7 +330,7 @@ class _WatershedBase(WatershedUtils):
             merging=self._merging,
             collect="history",
             sweep_fn=self.sweep_fn,
-            backend=self._resolved_backend(),
+            backend=self._resolved_backend("history"),
         )
         hist = np.asarray(hist)
         return [(lvl, hist[lvl]) for lvl in range(self.max_water_level + 1)]

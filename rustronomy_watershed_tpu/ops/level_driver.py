@@ -168,15 +168,21 @@ def run_levels(
     levels = max_water_level + 1
 
     if backend in ("relax", "relax_pallas"):
-        # Segmenting-only: the whole transform as ONE priority-relaxation
-        # fixed point (ops.priority / ops.pallas_relax) — bit-identical to
-        # the level sweep, in O(longest claim chain) whole-image passes
-        # instead of the per-level ring sums (measured: 29 vs ~3100 sweeps
-        # on a 4096^2 random field).
-        if merging:
+        # The whole transform as ONE priority-relaxation fixed point
+        # (ops.priority / ops.pallas_relax) — bit-identical to the level
+        # sweep, in O(longest claim chain) whole-image passes instead of the
+        # per-level ring sums (measured: 29 vs ~3100 sweeps at 4096^2).
+        #
+        # Merging variant: which pixels are claimed (and when) is
+        # label-independent, and the merging output at the final level is
+        # "each 4-connected component of the claimed set takes its minimum
+        # seed label" — i.e. one transitive merge_touching over the
+        # segmenting labels.  Per-level curves/history still need the
+        # incremental per-level unions (level-sweep backends).
+        if merging and collect != "none":
             raise ValueError(
-                "backend='relax' is segmenting-only (merging recolours "
-                "claimed pixels); use 'pallas' or 'jnp'"
+                "backend='relax' supports merging only with collect='none' "
+                "(per-level merged statistics need the level-sweep backends)"
             )
         from .priority import relax_transform, sizes_from_levels
 
@@ -191,6 +197,8 @@ def run_levels(
             labels, claim_levels = relax_transform(
                 img, labels0, max_water_level=max_water_level
             )
+        if merging:
+            return merge_touching(labels, n_labels)
         if collect == "none":
             return labels
         if collect == "sizes":

@@ -114,10 +114,11 @@ def test_relax_backend_via_run_levels_and_model(rng):
                              max_water_level=10, merging=False,
                              collect="history", backend="relax")
     np.testing.assert_array_equal(np.asarray(hist_got), np.asarray(hist_want))
-    # merging + relax is rejected
+    # merging + relax with per-level collection is rejected (final-label
+    # merging via relax is covered by test_merging_via_relax_matches_level_sweep)
     with pytest.raises(ValueError):
         run_levels(jnp.asarray(img), lab0, n_labels=2, max_water_level=5,
-                   merging=True, backend="relax")
+                   merging=True, backend="relax", collect="sizes")
 
 
 @pytest.mark.parametrize("shape,hi,maxlvl", [((40, 52), 20, 18), ((24, 24), 4, 3)])
@@ -157,3 +158,30 @@ def test_relax_pallas_backend_through_run_levels(rng):
         collect="sizes",
     )
     np.testing.assert_array_equal(np.asarray(sizes), np.asarray(want_sizes))
+
+
+@pytest.mark.parametrize("backend_kwargs", [
+    dict(backend="relax"),
+    dict(backend="relax_pallas", tile=8, steps=8, interpret=True),
+])
+def test_merging_via_relax_matches_level_sweep(rng, backend_kwargs):
+    img = rng.integers(0, 12, size=(24, 24)).astype(np.uint8)
+    seeds = _seeds_of(img) or [(2, 2)]
+    lab0 = paint_seeds(img.shape, seeds)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=len(seeds),
+                   max_water_level=10, merging=True)
+    )
+    got = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=len(seeds),
+                   max_water_level=10, merging=True, **backend_kwargs)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_merging_relax_rejects_per_level_collect(rng):
+    img = rng.integers(0, 8, size=(12, 12)).astype(np.uint8)
+    lab0 = paint_seeds(img.shape, [(3, 3)])
+    with pytest.raises(ValueError):
+        run_levels(jnp.asarray(img), lab0, n_labels=1, max_water_level=5,
+                   merging=True, backend="relax", collect="sizes")
