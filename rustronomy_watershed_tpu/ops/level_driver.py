@@ -144,8 +144,8 @@ def run_levels(
     collect: str = "none",
     sweep_fn=None,
     backend: str = "jnp",
-    tile: int = 64,
-    steps: int = 8,
+    tile: int | None = None,
+    steps: int | None = None,
     interpret: bool = False,
 ):
     """Run the full transform.
@@ -157,9 +157,11 @@ def run_levels(
       max_water_level: inclusive final level (1..=254).
       merging: merging (void-filling) variant if True, else segmenting.
       collect: 'none' | 'sizes' | 'history'.
-      backend: 'jnp' | 'pallas' (bit-identical results).
+      backend: 'jnp' | 'pallas' | 'relax' | 'relax_pallas' (bit-identical
+        results).
       tile/steps/interpret: pallas kernel tuning (steps = sweeps fused per
         HBM round-trip; interpret=True runs the kernel on CPU for testing).
+        None picks the backend's tuned default (flood 64/8, relax 256/16).
 
     Returns final labels, or (final labels, collected stack).
     """
@@ -187,11 +189,14 @@ def run_levels(
         from .priority import relax_transform, sizes_from_levels
 
         if backend == "relax_pallas":
+            from . import pallas_relax
             from .pallas_relax import relax_transform_pallas
 
             labels, claim_levels = relax_transform_pallas(
                 img, labels0, max_water_level=max_water_level,
-                tile=tile, steps=steps, interpret=interpret,
+                tile=tile or pallas_relax.DEFAULT_TILE,
+                steps=steps or pallas_relax.DEFAULT_STEPS,
+                interpret=interpret,
             )
         else:
             labels, claim_levels = relax_transform(
@@ -238,6 +243,8 @@ def run_levels(
             pad_domain,
         )
 
+        tile = tile or 64
+        steps = steps or 8
         h, w = img.shape
         img_pad, lab_pad = pad_domain(img, labels0, tile, steps)
         bhist = band_histogram(img, tile)

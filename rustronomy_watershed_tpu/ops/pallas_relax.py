@@ -18,9 +18,23 @@ Representation: the lexicographic key (L, d) packs into ONE int32,
 
 Bands follow the flood kernel's layout (full-width rows, P-row halo,
 wrap-rolls with ghost corruption confined to the discarded halo, last-sweep
-centre-change witness for the global fixed point), with the v1-proven
-unconditional cross-band DMA pipeline — no activity gating or ping-pong
-(every call is dense and there are only a few of them).
+centre-change witness for the global fixed point) plus its two proven
+perf techniques (ops/pallas_flood.py):
+
+* **in-place aliased state**: the key/label planes are aliased
+  inputs->outputs and bands write only their changed centre rows.  This is
+  single-buffer (no ping-pong): a band may read halo rows its neighbour
+  already updated this call (Gauss-Seidel order) or is concurrently
+  writing (per-element old-or-new).  Both are safe — keys decrease
+  monotonically toward the unique fixed point, so any old/new mixture is a
+  valid asynchronous-relaxation state, and labels have a unique solution
+  given the key fixed point (strict-key DAG).  Convergence is only
+  declared on a call in which NO band changed, i.e. no writes raced at all;
+* **band activity gating**: the first call runs every band; afterwards
+  only bands whose centre changed last call — or their immediate
+  neighbours (information moves <= P < T rows per call) — can change.
+  Dense calls (>1/3 bands active) use unconditional cross-band DMA
+  pipelining; sparse calls skip idle bands' HBM traffic entirely.
 """
 
 from __future__ import annotations
@@ -34,8 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import INT32_MAX, NEVER_FILL, NORMAL_MAX, UNCOLOURED
 
-DEFAULT_TILE = 64
-DEFAULT_STEPS = 8
+DEFAULT_TILE = 256
+DEFAULT_STEPS = 16
 
 _D_BITS = 23
 _D_MAX = (1 << _D_BITS) - 1
@@ -73,7 +87,22 @@ def pack_domain(img, labels0, tile: int = DEFAULT_TILE, steps: int = DEFAULT_STE
 
 
 def _relax_kernel(
-    v_hbm, key_hbm, lab_hbm, key_out, lab_out, chg_ref, v2, key2, lab2, sems, *, tile, steps
+    active_ref,
+    v_hbm,
+    key_in,
+    lab_in,
+    key_out,
+    lab_out,
+    flags_ref,
+    chg_ref,
+    v2,
+    key2,
+    lab2,
+    sems,
+    *,
+    tile,
+    steps,
+    pipelined,
 ):
     t, p = tile, steps
     win = t + 2 * p
@@ -82,102 +111,167 @@ def _relax_kernel(
     slot = jax.lax.rem(i, 2)
     nslot = 1 - slot
 
-    def in_dmas(s, band):
-        row0 = band * t
-        return (
-            pltpu.make_async_copy(v_hbm.at[pl.ds(row0, win), :], v2.at[s], sems.at[s, 0]),
-            pltpu.make_async_copy(key_hbm.at[pl.ds(row0, win), :], key2.at[s], sems.at[s, 1]),
-            pltpu.make_async_copy(lab_hbm.at[pl.ds(row0, win), :], lab2.at[s], sems.at[s, 2]),
-        )
-
-    @pl.when(i == 0)
-    def _():
-        for dma in in_dmas(slot, i):
-            dma.start()
-
-    @pl.when(i + 1 < gy)
-    def _():
-        for dma in in_dmas(nslot, i + 1):
-            dma.start()
-
-    for dma in in_dmas(slot, i):
-        dma.wait()
-
-    v = v2[slot].astype(jnp.int32) + 128
-    key0 = key2[slot]
-    lab0 = lab2[slot]
-    wp = key0.shape[1]
-    biglab = jnp.int32(2**30)
-    dmax = jnp.int32(_D_MAX)
-    maxlvl = jnp.int32(NORMAL_MAX)
-
-    def rolls(a):
-        return (
-            pltpu.roll(a, 1, 0),
-            pltpu.roll(a, win - 1, 0),
-            pltpu.roll(a, 1, 1),
-            pltpu.roll(a, wp - 1, 1),
-        )
-
-    def one_sweep(key, lab):
-        kq4 = rolls(key)
-        lq4 = rolls(lab)
-        best = key
-        for kq in kq4:
-            lq_lvl = jax.lax.shift_right_logical(kq, _D_BITS)
-            dq = jax.lax.bitwise_and(kq, dmax)
-            lc = jnp.maximum(v, lq_lvl)
-            dc = jnp.minimum(jnp.where(lq_lvl == lc, dq + 1, jnp.int32(1)), dmax)
-            cand = jax.lax.shift_left(lc, _D_BITS) + dc
-            # Reject claims above the maximum legal level (also kills apron /
-            # NEVER_FILL propagation: their lc >= 255).
-            cand = jnp.where(lc <= maxlvl, cand, jnp.int32(_UNCLAIMED))
-            best = jnp.minimum(best, cand)
-        labmin = jnp.full_like(lab, biglab)
-        for kq, lq in zip(kq4, lq4):
-            labmin = jnp.minimum(labmin, jnp.where(kq < best, lq, biglab))
-        new_lab = jnp.where(labmin == biglab, lab, labmin)
-        return best, new_lab
-
-    key, lab = key0, lab0
-    for _ in range(steps - 1):
-        key, lab = one_sweep(key, lab)
-    fkey, flab = one_sweep(key, lab)
-
     @pl.when(i == 0)
     def _():
         chg_ref[0, 0] = 0
 
-    last_changed = jnp.any(
-        (fkey[p : p + t, :] != key[p : p + t, :])
-        | (flab[p : p + t, :] != lab[p : p + t, :])
-    )
-    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], last_changed.astype(jnp.int32))
+    flags_ref[i, 0] = 0
 
-    key2[slot, p : p + t, :] = fkey[p : p + t, :]
-    lab2[slot, p : p + t, :] = flab[p : p + t, :]
-    co1 = pltpu.make_async_copy(
-        key2.at[slot, pl.ds(p, t), :], key_out.at[pl.ds(i * t + p, t), :], sems.at[slot, 3]
-    )
-    co2 = pltpu.make_async_copy(
-        lab2.at[slot, pl.ds(p, t), :], lab_out.at[pl.ds(i * t + p, t), :], sems.at[slot, 4]
-    )
-    co1.start()
-    co2.start()
-    co1.wait()
-    co2.wait()
+    def in_dmas(s, band):
+        row0 = band * t
+        return (
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(row0, win), :], v2.at[s], sems.at[s, 0]
+            ),
+            pltpu.make_async_copy(
+                key_in.at[pl.ds(row0, win), :], key2.at[s], sems.at[s, 1]
+            ),
+            pltpu.make_async_copy(
+                lab_in.at[pl.ds(row0, win), :], lab2.at[s], sems.at[s, 2]
+            ),
+        )
+
+    def compute_and_write():
+        # All candidate math runs on PACKED keys — no unpack/repack shifts:
+        #   extend(kq) for a neighbour with level(kq) >= v is
+        #     (same L, d+1 saturated) == min(kq + 1, kq | dmax),
+        #   else the path restarts at this pixel's level: (v << 23) | 1.
+        # kq = UNCLAIMED has d == dmax, so ext == kq stays UNCLAIMED with no
+        # overflow; the maxkey clamp rejects claims above NORMAL_MAX (killing
+        # apron / NEVER_FILL propagation: their candidates exceed maxkey).
+        vkey = jax.lax.shift_left(v2[slot].astype(jnp.int32) + 128, _D_BITS)
+        vkey1 = jax.lax.bitwise_or(vkey, jnp.int32(1))
+        key0 = key2[slot]
+        lab0 = lab2[slot]
+        wp = key0.shape[1]
+        biglab = jnp.int32(2**30)
+        dmax = jnp.int32(_D_MAX)
+        maxkey = jnp.int32((NORMAL_MAX << _D_BITS) | _D_MAX)
+
+        def rolls(a):
+            return (
+                pltpu.roll(a, 1, 0),
+                pltpu.roll(a, win - 1, 0),
+                pltpu.roll(a, 1, 1),
+                pltpu.roll(a, wp - 1, 1),
+            )
+
+        def one_sweep(key, lab):
+            kq4 = rolls(key)
+            lq4 = rolls(lab)
+            best = key
+            for kq in kq4:
+                sat = jax.lax.bitwise_and(kq, dmax) == dmax
+                ext = jnp.where(sat, kq, kq + 1)
+                cand = jnp.where(kq >= vkey, ext, vkey1)
+                cand = jnp.where(cand > maxkey, jnp.int32(_UNCLAIMED), cand)
+                best = jnp.minimum(best, cand)
+            labmin = jnp.full_like(lab, biglab)
+            for kq, lq in zip(kq4, lq4):
+                labmin = jnp.minimum(labmin, jnp.where(kq < best, lq, biglab))
+            new_lab = jnp.where(labmin == biglab, lab, labmin)
+            chg = (best != key) | (new_lab != lab)
+            return best, new_lab, jnp.any(chg), jnp.any(chg[p : p + t, :])
+
+        key1, lab1, chg1_win, chg1_ctr = one_sweep(key0, lab0)
+
+        def rest(args):
+            k1, l1, c1 = args
+
+            def body(_, carry):
+                key, lab, anyc, _ = carry
+                k2, l2, _, cc = one_sweep(key, lab)
+                return k2, l2, anyc | cc, cc
+
+            return jax.lax.fori_loop(0, steps - 1, body, (k1, l1, c1, c1))
+
+        fkey, flab, any_ctr, last_ctr = jax.lax.cond(
+            chg1_win,
+            rest,
+            lambda args: (args[0], args[1], args[2], args[2]),
+            (key1, lab1, chg1_ctr),
+        )
+
+        flags_ref[i, 0] = any_ctr.astype(jnp.int32)
+        chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], last_ctr.astype(jnp.int32))
+
+        # In-place write of the changed centre rows only.
+        @pl.when(any_ctr)
+        def _():
+            row0 = i * t
+            key2[slot, p : p + t, :] = fkey[p : p + t, :]
+            lab2[slot, p : p + t, :] = flab[p : p + t, :]
+            co1 = pltpu.make_async_copy(
+                key2.at[slot, pl.ds(p, t), :],
+                key_out.at[pl.ds(row0 + p, t), :],
+                sems.at[slot, 3],
+            )
+            co2 = pltpu.make_async_copy(
+                lab2.at[slot, pl.ds(p, t), :],
+                lab_out.at[pl.ds(row0 + p, t), :],
+                sems.at[slot, 4],
+            )
+            co1.start()
+            co2.start()
+            co1.wait()
+            co2.wait()
+
+    if pipelined:
+        # Dense mode: UNCONDITIONAL cross-band DMA pipelining (band i+1's
+        # window prefetches during band i's compute).  Activity only gates
+        # compute/writes.  NOTE: conditional cross-step issue/wait pairing
+        # deadlocks the DMA engine (see ops/pallas_flood.py) — do not.
+        @pl.when(i == 0)
+        def _():
+            for dma in in_dmas(slot, i):
+                dma.start()
+
+        @pl.when(i + 1 < gy)
+        def _():
+            for dma in in_dmas(nslot, i + 1):
+                dma.start()
+
+        for dma in in_dmas(slot, i):
+            dma.wait()
+
+        @pl.when(active_ref[i] > 0)
+        def _():
+            compute_and_write()
+    else:
+        # Sparse mode: only active bands touch HBM at all.
+        @pl.when(active_ref[i] > 0)
+        def _():
+            for dma in in_dmas(slot, i):
+                dma.start()
+            for dma in in_dmas(slot, i):
+                dma.wait()
+            compute_and_write()
 
 
-@partial(jax.jit, static_argnames=("tile", "steps", "interpret"))
-def relax_block(v_pad, key_pad, lab_pad, *, tile=DEFAULT_TILE, steps=DEFAULT_STEPS, interpret=False):
-    """P fused relaxation sweeps; returns (key', lab', not_converged)."""
+@partial(jax.jit, static_argnames=("tile", "steps", "interpret", "pipelined"))
+def relax_block(
+    v_pad,
+    key_pad,
+    lab_pad,
+    active,
+    *,
+    tile=DEFAULT_TILE,
+    steps=DEFAULT_STEPS,
+    interpret=False,
+    pipelined=True,
+):
+    """P fused relaxation sweeps over the active bands (in-place aliased).
+
+    Returns (key', lab', flags, not_converged): flags[i] != 0 iff band i's
+    centre changed; not_converged == False certifies the global fixed point.
+    """
     hp, wp = v_pad.shape
     p = steps
     gy = (hp - 2 * p) // tile
     win = tile + 2 * p
 
-    key2, lab2, chg = pl.pallas_call(
-        partial(_relax_kernel, tile=tile, steps=steps),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(gy,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -187,12 +281,8 @@ def relax_block(v_pad, key_pad, lab_pad, *, tile=DEFAULT_TILE, steps=DEFAULT_STE
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            pl.BlockSpec((gy, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, win, wp), jnp.int8),
@@ -200,31 +290,79 @@ def relax_block(v_pad, key_pad, lab_pad, *, tile=DEFAULT_TILE, steps=DEFAULT_STE
             pltpu.VMEM((2, win, wp), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 5)),
         ],
+    )
+
+    active = jnp.asarray(active, dtype=jnp.int32)
+    key2, lab2, flags, chg = pl.pallas_call(
+        partial(_relax_kernel, tile=tile, steps=steps, pipelined=pipelined),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((gy, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        input_output_aliases={2: 0, 3: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(v_pad, key_pad, lab_pad)
-    return key2, lab2, chg[0, 0] > 0
+    )(active, v_pad, key_pad, lab_pad)
+    return key2, lab2, flags[:, 0], chg[0, 0] > 0
+
+
+def _dilate_flags(flags: jnp.ndarray) -> jnp.ndarray:
+    """Next call's active set: changed bands and their neighbours."""
+    up = jnp.concatenate([flags[1:], jnp.zeros((1,), flags.dtype)])
+    down = jnp.concatenate([jnp.zeros((1,), flags.dtype), flags[:-1]])
+    return flags | up | down
+
+
+@partial(jax.jit, static_argnames=("tile", "steps", "interpret"))
+def relax_fixed_point(
+    v_pad, key_pad, lab_pad, *, tile=DEFAULT_TILE, steps=DEFAULT_STEPS, interpret=False
+):
+    """Iterate relax_block to the global fixed point on the padded domain."""
+    hp, _ = v_pad.shape
+    p = steps
+    gy = (hp - 2 * p) // tile
+
+    def body(state):
+        key, lab, active, _ = state
+        key, lab, flags, not_conv = jax.lax.cond(
+            jnp.sum(active) * 3 > gy,
+            lambda args: relax_block(
+                *args, tile=tile, steps=steps, interpret=interpret, pipelined=True
+            ),
+            lambda args: relax_block(
+                *args, tile=tile, steps=steps, interpret=interpret, pipelined=False
+            ),
+            (v_pad, key, lab, active),
+        )
+        return key, lab, _dilate_flags(flags), not_conv
+
+    key, lab, _, _ = jax.lax.while_loop(
+        lambda s: s[3],
+        body,
+        (key_pad, lab_pad, jnp.ones((gy,), jnp.int32), jnp.bool_(True)),
+    )
+    return key, lab
 
 
 def relax_transform_pallas(
-    img, labels0, *, max_water_level: int = 254,
-    tile=DEFAULT_TILE, steps=DEFAULT_STEPS, interpret=False,
+    img,
+    labels0,
+    *,
+    max_water_level: int = 254,
+    tile=DEFAULT_TILE,
+    steps=DEFAULT_STEPS,
+    interpret=False,
 ):
     """Full segmenting transform; bit-identical to ops.priority.relax_transform
     (and hence to the level-sweep drivers).  Returns (labels, claim_levels)."""
     img = jnp.asarray(img)
     h, w = img.shape
     v_pad, key_pad, lab_pad = pack_domain(img, labels0, tile, steps)
-
-    def cond(state):
-        return state[2]
-
-    def body(state):
-        key, lab, _ = state
-        return relax_block(v_pad, key, lab, tile=tile, steps=steps, interpret=interpret)
-
-    key, lab, _ = jax.lax.while_loop(
-        cond, body, (key_pad, lab_pad, jnp.bool_(True))
+    key, lab = relax_fixed_point(
+        v_pad, key_pad, lab_pad, tile=tile, steps=steps, interpret=interpret
     )
     p = steps
     key = jax.lax.dynamic_slice(key, (p, p), (h, w))

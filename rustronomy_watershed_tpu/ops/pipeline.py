@@ -49,8 +49,8 @@ def watershed_e2e(
     n_labels: int | None = None,
     sweep_fn=None,
     backend: str = "jnp",
-    tile: int = 64,
-    steps: int = 8,
+    tile: int | None = None,
+    steps: int | None = None,
     interpret: bool = False,
 ):
     """Seeds from the image itself (reference find_local_minima semantics),
