@@ -51,7 +51,7 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
-    from rustronomy_watershed_tpu.ops.pipeline import watershed_e2e
+    from rustronomy_watershed_tpu.ops.pipeline import watershed_e2e_impl
 
     size = int(os.environ.get("BENCH_SIZE", "4096"))
     max_lvl = int(os.environ.get("BENCH_LEVELS", "254"))
@@ -87,7 +87,7 @@ def main():
             salt = jnp.where(chk_prev == jnp.int32(-123456789), 1, 0).astype(
                 jnp.uint8
             )
-            out = watershed_e2e(
+            out = watershed_e2e_impl(
                 img + salt,
                 max_water_level=max_lvl,
                 merging=merging,

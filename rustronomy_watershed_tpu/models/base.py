@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .._compat import cache_resilient
 from ..constants import ALWAYS_FILL, NORMAL_MAX, UNCOLOURED
 from ..ops.level_driver import level_step, level_step_counted, run_levels
 from ..ops.preprocess import pre_process
@@ -118,12 +119,12 @@ class _WatershedBase(WatershedUtils):
 
     def _resolved_backend(self, collect: str = "none") -> str:
         """'auto': the priority-relaxation engine wherever it applies
-        (segmenting always; merging final-label transforms), else the
+        (segmenting always; merging except per-level history), else the
         level-sweep backends (Pallas kernel on accelerators, jnp on CPU)."""
         if self.backend != "auto":
             return self.backend
         cpu = jax.default_backend() == "cpu"
-        if not self._merging or collect == "none":
+        if not self._merging or collect in ("none", "sizes"):
             return "relax" if cpu else "relax_pallas"
         return "jnp" if cpu else "pallas"
 
@@ -297,16 +298,31 @@ class _WatershedBase(WatershedUtils):
                 collect="sizes",
             )
         else:
-            _, sizes = run_levels(
-                img,
-                labels0,
-                n_labels=bucket,
-                max_water_level=self.max_water_level,
-                merging=self._merging,
-                collect="sizes",
-                sweep_fn=self.sweep_fn,
-                backend=self._resolved_backend("sizes"),
-            )
+            backend = self._resolved_backend("sizes")
+            if self._merging and backend in ("relax", "relax_pallas"):
+                # Merging per-level curves via ONE relax pass + host union
+                # over the deduplicated label-adjacency edges — the
+                # level-sweep replay is ~100x slower (ops.merge_curve).
+                from ..ops.merge_curve import relax_merging_sizes
+
+                _, sizes = relax_merging_sizes(
+                    img,
+                    labels0,
+                    n_labels=bucket,
+                    max_water_level=self.max_water_level,
+                    backend=backend,
+                )
+            else:
+                _, sizes = run_levels(
+                    img,
+                    labels0,
+                    n_labels=bucket,
+                    max_water_level=self.max_water_level,
+                    merging=self._merging,
+                    collect="sizes",
+                    sweep_fn=self.sweep_fn,
+                    backend=backend,
+                )
         sizes = np.asarray(sizes)
         if counts_length is None:
             counts_length = int(np.prod(img.shape)) + 1
@@ -345,14 +361,14 @@ class _WatershedBase(WatershedUtils):
         )
         img_np = np.asarray(img)
 
-        step = jax.jit(
+        step = cache_resilient(jax.jit(
             partial(
                 level_step_counted if self.debug else level_step,
                 merging=self._merging,
                 n_labels=bucket,
                 sweep_fn=self.sweep_fn,
             )
-        )
+        ))
 
         bar = ProgressBar(self.max_water_level) if self.progress else None
         if self.debug:

@@ -31,6 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .._compat import cache_resilient
 from .flood import flood_fixed_point
 from .histogram import lake_sizes, value_histogram
 from .merge import merge_touching
@@ -120,21 +121,7 @@ def _collect_loop(step, labels0, *, levels, vhist, collect, n_labels, real_of):
     raise ValueError(f"unknown collect mode {collect!r}")
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_labels",
-        "max_water_level",
-        "merging",
-        "collect",
-        "sweep_fn",
-        "backend",
-        "tile",
-        "steps",
-        "interpret",
-    ),
-)
-def run_levels(
+def run_levels_impl(
     img,
     labels0,
     *,
@@ -203,7 +190,17 @@ def run_levels(
                 img, labels0, max_water_level=max_water_level
             )
         if merging:
-            return merge_touching(labels, n_labels)
+            # Final merged labels = component-min of the claimed set
+            # (ops.scan_merge) — segmented min-scans instead of per-label
+            # union tables, whose 4M-entry scatter/gathers dominated r1's
+            # merging time (8 Mpix/s at 4096²).
+            from .scan_merge import component_min_labels
+
+            return component_min_labels(
+                labels,
+                use_pallas=(backend == "relax_pallas"),
+                interpret=interpret,
+            )
         if collect == "none":
             return labels
         if collect == "sizes":
@@ -293,3 +290,26 @@ def run_levels(
         )
 
     raise ValueError(f"unknown backend {backend!r}")
+
+
+# Public jitted entry.  NOTE: nothing inside this package jits an
+# already-jitted function — jit-of-jit replay on jax 0.9.0 CPU can poison
+# the executable cache ("Execution supplied N buffers but compiled program
+# expected M").  Jitted callers (e.g. ops.pipeline.watershed_e2e) call
+# run_levels_impl directly.
+run_levels = cache_resilient(
+    partial(
+        jax.jit,
+        static_argnames=(
+            "n_labels",
+            "max_water_level",
+            "merging",
+            "collect",
+            "sweep_fn",
+            "backend",
+            "tile",
+            "steps",
+            "interpret",
+        ),
+    )(run_levels_impl)
+)

@@ -1,0 +1,216 @@
+"""Per-level merged statistics for the merging variant, from ONE relax pass.
+
+The reference's primary merging entry point is ``transform_to_list``
+(/root/reference/src/lib.rs:1551-1561): per water level, the lake-size
+histogram of the *merged* label image.  The level-sweep backends replay the
+whole flood per level; this module instead derives the curves from the
+relax engine's (label, claim_level) output:
+
+* two regions with (segmenting) labels a != b first merge at water level
+  ``w = max(L(p), L(q))`` minimised over adjacent claimed pixel pairs
+  (p, q) with labels (a, b) — at that level both pixels are first coloured
+  simultaneously and the reference's find_merge detects the pair
+  (src/lib.rs:1446-1470).  Pairs of two border pixels are never detected
+  (3x3 interior-centre windows), so horizontal edges in rows {0, H-1} and
+  vertical edges in columns {0, W-1} are excluded;
+* the per-level merged labelling is then the union-find over edges with
+  activation <= level (min-label representative, SURVEY.md Q9), and the
+  merged histogram at each level redistributes the *segmenting* per-level
+  counts onto representatives.
+
+The device does the plane-scale work (relax + per-level segmenting counts +
+edge extraction + dedup by sort); the union-find runs on the host over the
+deduplicated label-graph edges (O(K) entries — a planar adjacency graph),
+which is where ``transform_to_list``'s Python-list result lives anyway.
+Bit-parity with the level-sweep merging driver is pinned by tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._compat import cache_resilient
+
+
+def merge_edges_impl(seg_labels, claim_levels, *, max_water_level: int):
+    """Deduplicated label-adjacency edges with minimal activation levels.
+
+    Returns (lo, hi, w, n): int32 arrays sorted by (lo, hi) with unique
+    (lo, hi) pairs in the first ``n`` slots (w = minimal activation level of
+    that pair).  Fetch ``n`` to the host and slice ``[:n]``.
+    """
+    s = jnp.asarray(seg_labels, dtype=jnp.int32)
+    L = jnp.asarray(claim_levels, dtype=jnp.int32)
+    h, w_ = s.shape
+    big = jnp.int32(2**30)
+
+    def direction(a, b, wa, wb, blocked):
+        valid = (a > 0) & (b > 0) & (a != b) & ~blocked
+        act = jnp.maximum(wa, wb)
+        valid = valid & (act <= max_water_level)
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        lo = jnp.where(valid, lo, big)
+        hi = jnp.where(valid, hi, big)
+        act = jnp.where(valid, act, big)
+        return lo.reshape(-1), hi.reshape(-1), act.reshape(-1)
+
+    # Horizontal edges (p, p+x̂): blocked when the pair lies in row 0 / H-1.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w_ - 1), 0)
+    lo1, hi1, w1 = direction(
+        s[:, :-1], s[:, 1:], L[:, :-1], L[:, 1:], (rows == 0) | (rows == h - 1)
+    )
+    # Vertical edges (p, p+ŷ): blocked when the pair lies in column 0 / W-1.
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h - 1, w_), 1)
+    lo2, hi2, w2 = direction(
+        s[:-1, :], s[1:, :], L[:-1, :], L[1:, :], (cols == 0) | (cols == w_ - 1)
+    )
+
+    lo = jnp.concatenate([lo1, lo2])
+    hi = jnp.concatenate([hi1, hi2])
+    act = jnp.concatenate([w1, w2])
+    # Sort by (lo, hi, act): the first slot of each (lo, hi) run carries the
+    # minimal activation level.
+    lo, hi, act = jax.lax.sort((lo, hi, act), num_keys=3)
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]),
+        ]
+    )
+    first = first & (lo != big)
+    # Stable-compact unique edges to the front.
+    rank = jnp.where(first, jnp.int32(0), jnp.int32(1))
+    _, lo, hi, act = jax.lax.sort((rank, lo, hi, act), num_keys=1, is_stable=True)
+    n = jnp.sum(first.astype(jnp.int32))
+    return lo, hi, act, n
+
+
+# Public jitted entry (impl stays unjitted so jitted callers can inline it).
+merge_edges = cache_resilient(
+    partial(jax.jit, static_argnames=("max_water_level",))(merge_edges_impl)
+)
+
+
+@cache_resilient
+@partial(
+    jax.jit,
+    static_argnames=("n_labels", "max_water_level", "backend", "tile", "steps", "interpret"),
+)
+def _device_curves(
+    img, labels0, *, n_labels, max_water_level, backend, tile, steps, interpret
+):
+    """One device program: relax + segmenting counts + edges + final labels."""
+    from .priority import relax_transform, sizes_from_levels
+    from .scan_merge import component_min_labels
+
+    if backend == "relax_pallas":
+        from . import pallas_relax
+        from .pallas_relax import relax_transform_pallas
+
+        labels, claim_levels = relax_transform_pallas(
+            img,
+            labels0,
+            max_water_level=max_water_level,
+            tile=tile or pallas_relax.DEFAULT_TILE,
+            steps=steps or pallas_relax.DEFAULT_STEPS,
+            interpret=interpret,
+        )
+    else:
+        labels, claim_levels = relax_transform(
+            img, labels0, max_water_level=max_water_level
+        )
+    cum = sizes_from_levels(labels, claim_levels, n_labels, max_water_level)
+    lo, hi, act, n = merge_edges_impl(
+        labels, claim_levels, max_water_level=max_water_level
+    )
+    final = component_min_labels(
+        labels, use_pallas=(backend == "relax_pallas"), interpret=interpret
+    )
+    return final, cum, lo, hi, act, n
+
+
+def merged_sizes_host(
+    cum: np.ndarray, lo: np.ndarray, hi: np.ndarray, act: np.ndarray
+) -> np.ndarray:
+    """(levels, K+1) merged per-level lake sizes from segmenting counts.
+
+    ``cum`` is ops.priority.sizes_from_levels output (cumulative segmenting
+    counts; column 0 = uncoloured).  Kruskal-style: per level, union the
+    edges activating at that level (min-label representative), then
+    redistribute that level's counts onto representatives.
+    """
+    levels, k1 = cum.shape
+    parent = np.arange(k1, dtype=np.int64)
+    order = np.argsort(act, kind="stable")
+    lo, hi, act = lo[order], hi[order], act[order]
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return int(x)
+
+    out = np.zeros_like(cum)
+    i = 0
+    n_edges = len(act)
+    for lvl in range(levels):
+        while i < n_edges and act[i] == lvl:
+            ra, rb = find(int(lo[i])), find(int(hi[i]))
+            if ra != rb:
+                r = min(ra, rb)
+                parent[ra] = parent[rb] = r
+            i += 1
+        # Vectorised full compression, then redistribute this level's counts.
+        rep = parent
+        while True:
+            rep2 = rep[rep]
+            if np.array_equal(rep2, rep):
+                break
+            rep = rep2
+        parent = rep.copy()
+        out[lvl] = np.bincount(rep, weights=cum[lvl], minlength=k1).astype(cum.dtype)
+    return out
+
+
+def relax_merging_sizes(
+    img,
+    labels0,
+    *,
+    n_labels: int,
+    max_water_level: int,
+    backend: str = "relax",
+    tile=None,
+    steps=None,
+    interpret: bool = False,
+):
+    """Merging ``transform_to_list`` data via the relax engine.
+
+    Returns (final merged labels, (levels, K+1) merged per-level sizes) —
+    bit-identical to run_levels(..., merging=True, collect='sizes') on the
+    level-sweep backends.
+    """
+    img = jnp.asarray(img)
+    labels0 = jnp.asarray(labels0, dtype=jnp.int32)
+    final, cum, lo, hi, act, n = _device_curves(
+        img,
+        labels0,
+        n_labels=n_labels,
+        max_water_level=max_water_level,
+        backend=backend,
+        tile=tile,
+        steps=steps,
+        interpret=interpret,
+    )
+    n = int(n)
+    sizes = merged_sizes_host(
+        np.asarray(cum),
+        np.asarray(lo[:n]),
+        np.asarray(hi[:n]),
+        np.asarray(act[:n]),
+    )
+    return final, sizes

@@ -294,7 +294,6 @@ def _flood_kernel(
             compute_and_write()
 
 
-@partial(jax.jit, static_argnames=("tile", "steps", "interpret", "pipelined"))
 def flood_block(
     img_pad,
     buf_a,

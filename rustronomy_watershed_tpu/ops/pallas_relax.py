@@ -248,7 +248,6 @@ def _relax_kernel(
             compute_and_write()
 
 
-@partial(jax.jit, static_argnames=("tile", "steps", "interpret", "pipelined"))
 def relax_block(
     v_pad,
     key_pad,
@@ -316,7 +315,6 @@ def _dilate_flags(flags: jnp.ndarray) -> jnp.ndarray:
     return flags | up | down
 
 
-@partial(jax.jit, static_argnames=("tile", "steps", "interpret"))
 def relax_fixed_point(
     v_pad, key_pad, lab_pad, *, tile=DEFAULT_TILE, steps=DEFAULT_STEPS, interpret=False
 ):

@@ -14,7 +14,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .level_driver import run_levels
+from .._compat import cache_resilient
+from .level_driver import run_levels_impl
 from .seeds import local_extrema_mask, seed_labels_from_mask
 
 
@@ -26,21 +27,7 @@ def max_seed_count(shape: tuple[int, int]) -> int:
     return max(1, ((h - 1) // 2) * ((w - 1) // 2))
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "max_water_level",
-        "merging",
-        "collect",
-        "n_labels",
-        "sweep_fn",
-        "backend",
-        "tile",
-        "steps",
-        "interpret",
-    ),
-)
-def watershed_e2e(
+def watershed_e2e_impl(
     img,
     *,
     max_water_level: int = 254,
@@ -60,7 +47,7 @@ def watershed_e2e(
     labels0 = seed_labels_from_mask(mask)
     if n_labels is None:
         n_labels = max_seed_count(img.shape[-2:])
-    return run_levels(
+    return run_levels_impl(
         img,
         labels0,
         n_labels=n_labels,
@@ -73,3 +60,22 @@ def watershed_e2e(
         steps=steps,
         interpret=interpret,
     )
+
+
+# Public jitted entry (see ops.level_driver on why impls stay unjitted).
+watershed_e2e = cache_resilient(
+    partial(
+        jax.jit,
+        static_argnames=(
+            "max_water_level",
+            "merging",
+            "collect",
+            "n_labels",
+            "sweep_fn",
+            "backend",
+            "tile",
+            "steps",
+            "interpret",
+        ),
+    )(watershed_e2e_impl)
+)

@@ -36,8 +36,6 @@ history snapshots are ``where(L <= lvl, label, 0)``.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -99,7 +97,6 @@ def init_state(img, labels0):
     return v, (L, d, labels0)
 
 
-@partial(jax.jit, static_argnames=("max_water_level", "collect_sweeps"))
 def relax_transform(img, labels0, *, max_water_level: int = 254, collect_sweeps=False):
     """Full segmenting transform by priority relaxation.
 

@@ -1,0 +1,140 @@
+"""Fast merging engine: scan-based component-min + edge-union level curves.
+
+Pins bit-parity of the relax-based merging paths (ops.scan_merge,
+ops.merge_curve) against the round-1-verified level-sweep merging driver
+(itself oracle-pinned vs /root/reference/src/lib.rs:1446-1470 semantics in
+test_transform/test_native_oracle).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rustronomy_watershed_tpu.ops.level_driver import run_levels
+from rustronomy_watershed_tpu.ops.merge import merge_touching
+from rustronomy_watershed_tpu.ops.merge_curve import (
+    merge_edges,
+    merged_sizes_host,
+    relax_merging_sizes,
+)
+from rustronomy_watershed_tpu.ops.scan_merge import component_min_labels
+from rustronomy_watershed_tpu.ops.seeds import (
+    local_extrema_mask,
+    paint_seeds,
+    seed_labels_from_mask,
+)
+
+
+def _field(rng, shape, hi):
+    img = rng.integers(0, hi, size=shape).astype(np.uint8)
+    lab0 = seed_labels_from_mask(local_extrema_mask(jnp.asarray(img)))
+    k = int(jnp.max(lab0))
+    if k == 0:
+        lab0 = paint_seeds(shape, [(2, 2), (shape[0] - 3, shape[1] - 3)])
+        k = 2
+    return img, lab0, k
+
+
+@pytest.mark.parametrize("shape,hi,maxlvl", [((40, 52), 20, 18), ((32, 32), 254, 254), ((50, 44), 4, 2)])
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_component_min_matches_level_sweep_merging(rng, shape, hi, maxlvl, use_pallas):
+    img, lab0, k = _field(rng, shape, hi)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=k, max_water_level=maxlvl,
+                   merging=True, backend="jnp")
+    )
+    seg = run_levels(jnp.asarray(img), lab0, n_labels=k, max_water_level=maxlvl,
+                     merging=False, backend="relax")
+    got = np.asarray(
+        component_min_labels(jnp.asarray(seg), use_pallas=use_pallas,
+                             interpret=use_pallas)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_vscan_pallas_kernel_matches_jnp_scan(rng):
+    # Bare single interpret calls of the Pallas scan kernel (safe on CPU;
+    # the in-loop interpret path is routed to the jnp scan — see
+    # ops/scan_merge.py) against the associative-scan reference.
+    from rustronomy_watershed_tpu.ops.scan_merge import _vscan_jnp, _vscan_pallas
+
+    for h in (8, 32, 64):
+        lab = jnp.asarray(
+            np.where(rng.random((h, 512)) < 0.3, 0,
+                     rng.integers(1, 50, (h, 512))).astype(np.int32)
+        )
+        want = np.asarray(_vscan_jnp(lab))
+        got = np.asarray(_vscan_pallas(lab, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_component_min_blocked_border_edges():
+    # Two seeds adjacent along the top border: the reference's interior-
+    # centred windows never detect the pair, so they must NOT merge.
+    lab = np.zeros((6, 8), np.int32)
+    lab[0, 3], lab[0, 4] = 5, 9
+    out = np.asarray(component_min_labels(jnp.asarray(lab), use_pallas=False))
+    assert out[0, 3] == 5 and out[0, 4] == 9
+    # ... but a border pixel connected through an interior pixel does merge.
+    lab2 = np.zeros((6, 8), np.int32)
+    lab2[0, 3], lab2[1, 3], lab2[1, 4], lab2[0, 4] = 5, 5, 9, 9
+    out2 = np.asarray(component_min_labels(jnp.asarray(lab2), use_pallas=False))
+    assert (out2[lab2 > 0] == 5).all()
+
+
+@pytest.mark.parametrize("shape,hi,maxlvl", [((40, 52), 20, 18), ((48, 36), 254, 254), ((56, 56), 4, 3)])
+@pytest.mark.parametrize("backend", ["relax", "relax_pallas"])
+def test_relax_merging_sizes_matches_level_sweep(rng, shape, hi, maxlvl, backend):
+    img, lab0, k = _field(rng, shape, hi)
+    want_lab, want_sz = run_levels(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=maxlvl,
+        merging=True, backend="jnp", collect="sizes",
+    )
+    got_lab, got_sz = relax_merging_sizes(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=maxlvl,
+        backend=backend, interpret=(backend == "relax_pallas"),
+    )
+    np.testing.assert_array_equal(np.asarray(got_lab), np.asarray(want_lab))
+    np.testing.assert_array_equal(np.asarray(got_sz), np.asarray(want_sz))
+
+
+def test_merge_edges_dedup_and_activation(rng):
+    # Hand-checkable: two regions meeting along a line, claimed at known
+    # levels -> one unique edge with the minimal activation level.
+    s = jnp.asarray(np.array([
+        [0, 0, 0, 0, 0],
+        [0, 1, 1, 2, 0],
+        [0, 1, 1, 2, 0],
+        [0, 0, 0, 0, 0],
+    ], np.int32))
+    L = jnp.asarray(np.array([
+        [9, 9, 9, 9, 9],
+        [9, 0, 1, 3, 9],
+        [9, 1, 2, 4, 9],
+        [9, 9, 9, 9, 9],
+    ], np.int32))
+    lo, hi, act, n = merge_edges(s, L, max_water_level=8)
+    n = int(n)
+    assert n == 1
+    assert (int(lo[0]), int(hi[0])) == (1, 2)
+    # pairs (1@L1,2@L3) act 3 and (1@L2,2@L4) act 4 -> min 3
+    assert int(act[0]) == 3
+
+
+def test_merging_transform_to_list_public_api(rng):
+    # Public surface: merging transform_to_list identical between the fast
+    # relax path (backend auto on CPU -> relax) and the level-sweep backend.
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 30, size=(48, 48)).astype(np.uint8)
+    ws_fast = TransformBuilder.default().set_max_water_lvl(29).build_merging()
+    ws_slow = TransformBuilder.default().set_max_water_lvl(29).build_merging()
+    ws_slow.backend = "jnp"
+    seeds = ws_fast.find_local_minima(img)
+    a = ws_fast.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+    b = ws_slow.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+    assert len(a) == len(b) == 30
+    for (la, ca), (lb, cb) in zip(a, b):
+        assert la == lb
+        np.testing.assert_array_equal(ca, cb)
