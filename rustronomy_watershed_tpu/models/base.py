@@ -240,6 +240,37 @@ class _WatershedBase(WatershedUtils):
             )
             return np.asarray(out)
 
+        backend = self._resolved_backend()
+        if backend in ("relax", "relax_pallas"):
+            # Stack the batch VERTICALLY with per-image NEVER_FILL borders:
+            # border pixels are unclaimable barriers in the relax engine
+            # (exactly its own border rule), so claims, labels and the
+            # component-min merge can never cross image boundaries — one
+            # full-rate relax pass over the (B*H, W) plane is bit-identical
+            # to B independent transforms.  This avoids vmap-of-pallas and
+            # runs the tuned kernel at its native shape.
+            from ..constants import NEVER_FILL
+
+            b, h, w = imgs.shape
+            imgs = np.asarray(imgs).copy()
+            imgs[:, 0, :] = NEVER_FILL
+            imgs[:, -1, :] = NEVER_FILL
+            imgs[:, :, 0] = NEVER_FILL
+            imgs[:, :, -1] = NEVER_FILL
+            out = run_levels(
+                jnp.asarray(imgs.reshape(b * h, w)),
+                labels0.reshape(b * h, w),
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                merging=self._merging,
+                collect="none",
+                backend=backend,
+            )
+            return np.asarray(out).reshape(b, h, w)
+
+        # Level-sweep backends: vmap over the jnp driver.  (The pallas flood
+        # kernel does not support vmap; merging label tables are per-image
+        # under vmap, so this is the general-correctness fallback.)
         run = jax.vmap(
             partial(
                 run_levels,
@@ -247,6 +278,8 @@ class _WatershedBase(WatershedUtils):
                 max_water_level=self.max_water_level,
                 merging=self._merging,
                 collect="none",
+                sweep_fn=self.sweep_fn,
+                backend="jnp",
             )
         )
         return np.asarray(run(jnp.asarray(imgs), labels0))

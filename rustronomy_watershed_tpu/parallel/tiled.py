@@ -2,12 +2,27 @@
 
 The TPU-native replacement for the reference's shared-memory rayon parallelism
 (SURVEY.md §2 "Parallelism & communication"): the image is tiled over a
-('y', 'x') device mesh; each flood block exchanges a k-px halo over ICI
+('y', 'x') device mesh; each step exchanges a k-px halo over ICI
 (``lax.ppermute``), runs k local Jacobi sweeps (bit-identical to k global
-sweeps), and reduces a global "any pixel changed" flag with ``lax.psum``.
-Region merging keeps the parent table replicated: local adjacency scatter-mins
-are combined with ``lax.pmin`` and pointer jumping runs redundantly (and
-identically) on every device, avoiding host round-trips.
+sweeps — information moves one 4-connected pixel per sweep), and reduces a
+global "any pixel changed" flag with ``lax.psum``.  Region merging keeps the
+parent table replicated: local adjacency scatter-mins are combined with
+``lax.pmin`` and pointer jumping runs redundantly (and identically) on every
+device, avoiding host round-trips.
+
+Two tiled engines:
+
+* **relax** (default wherever it applies): the priority-relaxation engine
+  (ops.priority) tiled — each round exchanges k-px halos of the (L, d,
+  label) planes and runs k local relax sweeps.  Stale halos are safe (keys
+  decrease monotonically toward the unique fixed point; wrap-ghost
+  corruption penetrates at most k-1 rings into the k-wide halo, which is
+  cropped), and the global fixed point is detected with a psum'd
+  centre-change flag.  O(longest claim chain / k) exchanges for the whole
+  transform instead of per-level ring sums.
+* **sweep**: the per-water-level flood loop (needed for the merging
+  variant's per-level statistics, whose merge phase is inherently
+  per-level).
 
 An optional leading batch axis composes (dp-style): each device may hold a
 (B_local, h, w) stack (BASELINE config 5: 64x1024² cutouts over v5e-8), with
@@ -26,9 +41,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..constants import INT32_MAX, NEVER_FILL, UNCOLOURED
 from ..ops.flood import flood_sweep
+from ..ops.priority import relax_sweep
 from .halo import exchange_halo, global_interior_mask
 
 _BIG = jnp.int32(INT32_MAX)
+_BIG_L = NEVER_FILL + 1
+_BIG_D = 2**30
 
 
 def _take_per_batch(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -49,6 +67,183 @@ def _batched_bincount(values: jnp.ndarray, length: int) -> jnp.ndarray:
     )
 
 
+def _merge_fixed_point(
+    lab, *, n_labels, merge_mask, axes, control_axes
+):
+    """Transitive min-label union of all touching regions, mesh-globally.
+
+    The parent table is replicated: per-device adjacency scatter-mins combine
+    with ``lax.pmin``; pointer jumping runs identically everywhere.
+    ``lab`` is (B, h, w); returns the relabelled tile.
+    """
+    b = lab.shape[0]
+    ident = jnp.broadcast_to(
+        jnp.arange(n_labels + 1, dtype=jnp.int32), (b, n_labels + 1)
+    )
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        parent, _ = state
+        cur = _take_per_batch(parent, lab)
+        cur_p = exchange_halo(cur, 1, *axes, off_grid_fill=UNCOLOURED)
+
+        def differing(n):
+            return jnp.where((n != UNCOLOURED) & (n != cur_p), n, _BIG)
+
+        hp, wp = cur_p.shape[-2:]
+        pad = [(0, 0), (1, 1), (1, 1)]
+        pp = jnp.pad(cur_p, pad, constant_values=UNCOLOURED)
+        diff_min = _BIG
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb = pp[:, 1 + dy : 1 + dy + hp, 1 + dx : 1 + dx + wp]
+            diff_min = jnp.minimum(diff_min, differing(nb))
+        valid = (cur_p != UNCOLOURED) & merge_mask
+        diff_min = jnp.where(valid, diff_min, _BIG)
+
+        adj = jnp.full((b, n_labels + 1), _BIG, dtype=jnp.int32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (b, hp * wp), 0)
+        adj = adj.at[rows.reshape(-1), cur_p.reshape(-1)].min(
+            diff_min.reshape(-1), mode="drop"
+        )
+        adj = lax.pmin(adj, axes)
+
+        safe = jnp.minimum(adj, jnp.int32(n_labels))
+        cand = jnp.where(adj != _BIG, _take_per_batch(parent, safe), _BIG)
+        new_parent = jnp.minimum(parent, cand)
+
+        def jcond(s):
+            return s[1]
+
+        def jbody(s):
+            p, _ = s
+            p2 = _take_per_batch(p, p)
+            return p2, jnp.any(p2 != p)
+
+        new_parent, _ = lax.while_loop(jcond, jbody, (new_parent, jnp.bool_(True)))
+        changed = (
+            lax.psum(
+                jnp.any(new_parent != parent).astype(jnp.int32), control_axes
+            )
+            > 0
+        )
+        return new_parent, changed
+
+    parent, _ = lax.while_loop(cond, body, (ident, jnp.bool_(True)))
+    return _take_per_batch(parent, lab)
+
+
+def _batched_sizes_from_levels(lab, lv, n_labels, max_water_level):
+    """Per-tile (B, levels, K+1) cumulative claim counts (no column-0 fix —
+    the caller psums across tiles first, then complements column 0)."""
+    b = lab.shape[0]
+    levels = max_water_level + 1
+    labf = lab.reshape(b, -1)
+    lvf = jnp.clip(lv.reshape(b, -1), 0, levels)
+    rows = jax.lax.broadcasted_iota(jnp.int32, labf.shape, 0)
+    counts = jnp.zeros((b, levels + 1, n_labels + 1), dtype=jnp.int32)
+    counts = counts.at[rows.reshape(-1), lvf.reshape(-1), labf.reshape(-1)].add(
+        jnp.ones(labf.size, dtype=jnp.int32), mode="drop"
+    )
+    return jnp.cumsum(counts[:, :levels], axis=1)
+
+
+def _local_relax_driver(
+    img_tile,
+    lab_tile,
+    *,
+    global_shape,
+    n_labels,
+    max_water_level,
+    merging,
+    halo,
+    collect,
+    axis_y,
+    axis_x,
+    control_axes,
+):
+    """Tiled priority relaxation (runs under shard_map).  Shapes: (B, h, w).
+
+    Halo staleness between exchanges is safe: the relaxation is a monotone
+    asynchronous iteration with a unique fixed point (ops.priority), and
+    convergence is only declared on a globally change-free round.
+    """
+    axes = (axis_y, axis_x)
+    b, h, w = lab_tile.shape
+    k = halo
+
+    # Static image halo (exchange once) with the GLOBAL border rule: v_eff is
+    # NEVER_FILL outside the global interior (the reference never paints
+    # border pixels, src/lib.rs:220-233) — which also covers off-grid cells.
+    v_p = exchange_halo(
+        img_tile.astype(jnp.int32), k, axis_y, axis_x, off_grid_fill=NEVER_FILL
+    )
+    interior = global_interior_mask((h, w), global_shape, k, axis_y, axis_x)
+    v_p = jnp.where(interior, v_p, NEVER_FILL)
+
+    lab_tile = lab_tile.astype(jnp.int32)
+    seeds = lab_tile != UNCOLOURED
+    L = jnp.where(seeds, jnp.int32(0), jnp.int32(_BIG_L))
+    d = jnp.where(seeds, jnp.int32(0), jnp.int32(_BIG_D))
+
+    def body(state):
+        (L, d, lab), _ = state
+        Lp = exchange_halo(L, k, axis_y, axis_x, off_grid_fill=_BIG_L)
+        dp = exchange_halo(d, k, axis_y, axis_x, off_grid_fill=_BIG_D)
+        labp = exchange_halo(lab, k, axis_y, axis_x, off_grid_fill=UNCOLOURED)
+        st = (Lp, dp, labp)
+        for _ in range(k):
+            st = relax_sweep(v_p, st)
+        L2, d2, lab2 = (a[..., k:-k, k:-k] for a in st)
+        changed = (
+            lax.psum(
+                jnp.any((L2 != L) | (d2 != d) | (lab2 != lab)).astype(jnp.int32),
+                control_axes,
+            )
+            > 0
+        )
+        return (L2, d2, lab2), changed
+
+    (L, d, lab), _ = lax.while_loop(
+        lambda s: s[1], body, ((L, d, lab_tile), jnp.bool_(True))
+    )
+    labels = jnp.where(L <= max_water_level, lab, UNCOLOURED)
+
+    if merging:
+        # Final merged labels: transitive union over the claimed set (the
+        # per-level merge curve needs the sweep engine; final labels do not).
+        merge_mask = global_interior_mask((h, w), global_shape, 1, axis_y, axis_x)
+        labels = _merge_fixed_point(
+            labels,
+            n_labels=n_labels,
+            merge_mask=merge_mask,
+            axes=axes,
+            control_axes=control_axes,
+        )
+        if collect != "none":
+            raise ValueError("tiled relax: merging supports collect='none' only")
+
+    if collect == "none":
+        return labels
+
+    if collect == "sizes":
+        cum = _batched_sizes_from_levels(labels, L, n_labels, max_water_level)
+        cum = lax.psum(cum, axes)
+        total = global_shape[0] * global_shape[1]
+        coloured = jnp.sum(cum[:, :, 1:], axis=2)
+        cum = cum.at[:, :, 0].set(total - coloured)
+        return labels, jnp.swapaxes(cum, 0, 1)  # (levels, B, K+1)
+
+    if collect == "history":
+        levels = max_water_level + 1
+        lvls = jnp.arange(levels, dtype=jnp.int32)[:, None, None, None]
+        hist = jnp.where(L[None] <= lvls, labels[None], UNCOLOURED)
+        return labels, hist  # (levels, B, h, w)
+
+    raise ValueError(f"unknown collect mode {collect!r}")
+
+
 def _local_level_driver(
     img_tile,
     lab_tile,
@@ -63,7 +258,7 @@ def _local_level_driver(
     axis_x,
     control_axes,
 ):
-    """Per-device body (runs under shard_map).  Shapes: (B, h, w).
+    """Per-device level-sweep body (runs under shard_map).  Shapes: (B, h, w).
 
     ``control_axes`` covers ALL mesh axes (incl. a batch axis): every loop
     predicate is reduced over it so all devices execute identical collective
@@ -103,67 +298,16 @@ def _local_level_driver(
         lab, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True)))
         return lab
 
-    def merge_fixed_point(lab):
-        ident = jnp.broadcast_to(
-            jnp.arange(n_labels + 1, dtype=jnp.int32), (b, n_labels + 1)
-        )
-
-        def cond(state):
-            return state[1]
-
-        def body(state):
-            parent, _ = state
-            cur = _take_per_batch(parent, lab)
-            cur_p = exchange_halo(cur, 1, axis_y, axis_x, off_grid_fill=UNCOLOURED)
-
-            def differing(n):
-                return jnp.where((n != UNCOLOURED) & (n != cur_p), n, _BIG)
-
-            hp, wp = cur_p.shape[-2:]
-            pad = [(0, 0), (1, 1), (1, 1)]
-            pp = jnp.pad(cur_p, pad, constant_values=UNCOLOURED)
-            diff_min = _BIG
-            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-                nb = pp[:, 1 + dy : 1 + dy + hp, 1 + dx : 1 + dx + wp]
-                diff_min = jnp.minimum(diff_min, differing(nb))
-            valid = (cur_p != UNCOLOURED) & merge_mask
-            diff_min = jnp.where(valid, diff_min, _BIG)
-
-            adj = jnp.full((b, n_labels + 1), _BIG, dtype=jnp.int32)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (b, hp * wp), 0)
-            adj = adj.at[rows.reshape(-1), cur_p.reshape(-1)].min(
-                diff_min.reshape(-1), mode="drop"
-            )
-            adj = lax.pmin(adj, axes)
-
-            safe = jnp.minimum(adj, jnp.int32(n_labels))
-            cand = jnp.where(adj != _BIG, _take_per_batch(parent, safe), _BIG)
-            new_parent = jnp.minimum(parent, cand)
-
-            def jcond(s):
-                return s[1]
-
-            def jbody(s):
-                p, _ = s
-                p2 = _take_per_batch(p, p)
-                return p2, jnp.any(p2 != p)
-
-            new_parent, _ = lax.while_loop(jcond, jbody, (new_parent, jnp.bool_(True)))
-            changed = (
-                lax.psum(
-                    jnp.any(new_parent != parent).astype(jnp.int32), control_axes
-                )
-                > 0
-            )
-            return new_parent, changed
-
-        parent, _ = lax.while_loop(cond, body, (ident, jnp.bool_(True)))
-        return _take_per_batch(parent, lab)
-
     def step(lab, lvl):
         lab = flood_fixed_point(lab, lvl)
         if merging:
-            lab = merge_fixed_point(lab)
+            lab = _merge_fixed_point(
+                lab,
+                n_labels=n_labels,
+                merge_mask=merge_mask,
+                axes=axes,
+                control_axes=control_axes,
+            )
         return lab
 
     levels = max_water_level + 1
@@ -192,6 +336,17 @@ def _local_level_driver(
         final, out = lax.fori_loop(0, levels, body, (lab_tile, out))
         return final, out
 
+    if collect == "history":
+        out = jnp.zeros((levels, b, h, w), dtype=jnp.int32)
+
+        def body(lvl, carry):
+            lab, out = carry
+            lab = run_lvl(lvl, lab)
+            return lab, out.at[lvl].set(lab)
+
+        final, out = lax.fori_loop(0, levels, body, (lab_tile, out))
+        return final, out
+
     raise ValueError(f"unknown collect mode {collect!r}")
 
 
@@ -208,13 +363,20 @@ def tiled_transform(
     axis_y: str = "y",
     axis_x: str = "x",
     axis_batch: str | None = None,
+    backend: str = "auto",
 ):
     """Run the full watershed tiled over ``mesh``.
 
     ``img``/``labels0``: (H, W) or (B, H, W); H and W must divide evenly by
     the mesh's y/x extent.  With ``axis_batch`` set, the leading batch axis is
     additionally sharded over that mesh axis (dp x spatial).  Returns final
-    labels, plus (levels, B, K+1) lake sizes when ``collect='sizes'``.
+    labels, plus (levels, B, K+1) lake sizes when ``collect='sizes'`` or
+    (levels, B, H, W) snapshots when ``collect='history'``.
+
+    ``backend``: 'relax' | 'sweep' | 'auto'.  'auto' uses the tiled
+    relaxation engine wherever it applies (segmenting always; merging final
+    labels) and the per-level sweep loop for merging statistics.  Both are
+    bit-identical to the single-device drivers.
     """
     img = jnp.asarray(img)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
@@ -228,9 +390,13 @@ def tiled_transform(
     if gh % ny or gw % nx:
         raise ValueError(f"image {gh}x{gw} not divisible by mesh {ny}x{nx}")
 
+    if backend == "auto":
+        backend = "relax" if (not merging or collect == "none") else "sweep"
+    driver = _local_relax_driver if backend == "relax" else _local_level_driver
+
     spec = P(axis_batch, axis_y, axis_x)
     local = partial(
-        _local_level_driver,
+        driver,
         global_shape=(gh, gw),
         n_labels=n_labels,
         max_water_level=max_water_level,
@@ -243,8 +409,10 @@ def tiled_transform(
     )
     if collect == "none":
         out_specs = spec
-    else:
+    elif collect == "sizes":
         out_specs = (spec, P(None, axis_batch, None))
+    else:  # history
+        out_specs = (spec, P(None, axis_batch, axis_y, axis_x))
 
     fn = jax.jit(
         jax.shard_map(
@@ -259,6 +427,8 @@ def tiled_transform(
     if squeeze:
         if collect == "none":
             return out[0]
+        if collect == "sizes":
+            return out[0][0], out[1][:, 0]
         return out[0][0], out[1][:, 0]
     return out
 

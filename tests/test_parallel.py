@@ -153,3 +153,77 @@ def test_model_transform_batch_and_mesh(rng):
     out = wsb.transform_batch(imgs2, seeds2)
     for i in range(2):
         np.testing.assert_array_equal(out[i], ws.transform(imgs2[i], seeds2[i]))
+
+
+def test_transform_batch_merging_and_edge_correction(rng):
+    # The stacked-relax batch path (models/base.transform_batch): merging and
+    # edge-corrected batches must match per-image transforms bit-exactly.
+    from rustronomy_watershed_tpu import TransformBuilder
+
+    imgs = rng.integers(0, 12, size=(3, 18, 14)).astype(np.uint8)
+    for edge in (False, True):
+        for build in ("build_merging", "build_segmenting"):
+            b = TransformBuilder.default().set_max_water_lvl(11)
+            if edge:
+                b = b.enable_edge_correction()
+            ws = getattr(b, build)()
+            seeds_list = [ws.find_local_minima(im) for im in imgs]
+            batched = ws.transform_batch(imgs, seeds_list)
+            for i in range(3):
+                single = ws.transform(imgs[i], seeds_list[i])
+                np.testing.assert_array_equal(
+                    batched[i], single, err_msg=f"{build} edge={edge} img{i}"
+                )
+
+
+@pytest.mark.parametrize("merging", [False, True])
+@pytest.mark.parametrize("halo", [2, 4])
+def test_tiled_relax_matches_single_device(rng, merging, halo):
+    # The tiled priority-relaxation engine (parallel/tiled._local_relax_driver)
+    # must be bit-identical to the single-device driver.
+    img, labels0, k = _case(rng)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), labels0, n_labels=k,
+                   max_water_level=MAXLVL, merging=merging)
+    )
+    got = np.asarray(
+        tiled_transform(img, labels0, make_mesh(8), n_labels=k,
+                        max_water_level=MAXLVL, merging=merging, halo=halo,
+                        backend="relax")
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiled_relax_sizes_and_history(rng):
+    img, labels0, k = _case(rng)
+    want_lab, want_sz = run_levels(
+        jnp.asarray(img), labels0, n_labels=k, max_water_level=MAXLVL,
+        merging=False, collect="sizes",
+    )
+    lab, sz = tiled_transform(img, labels0, make_mesh(8), n_labels=k,
+                              max_water_level=MAXLVL, merging=False, halo=3,
+                              collect="sizes", backend="relax")
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(want_lab))
+    np.testing.assert_array_equal(np.asarray(sz), np.asarray(want_sz))
+
+    _, want_hist = run_levels(
+        jnp.asarray(img), labels0, n_labels=k, max_water_level=MAXLVL,
+        merging=False, collect="history",
+    )
+    _, hist = tiled_transform(img, labels0, make_mesh(8), n_labels=k,
+                              max_water_level=MAXLVL, merging=False, halo=3,
+                              collect="history", backend="relax")
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(want_hist))
+
+
+def test_tiled_history_merging_sweep(rng):
+    # Merging per-level history needs the sweep engine (per-level unions).
+    img, labels0, k = _case(rng)
+    _, want_hist = run_levels(
+        jnp.asarray(img), labels0, n_labels=k, max_water_level=MAXLVL,
+        merging=True, collect="history", backend="jnp",
+    )
+    _, hist = tiled_transform(img, labels0, make_mesh(8), n_labels=k,
+                              max_water_level=MAXLVL, merging=True, halo=2,
+                              collect="history")
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(want_hist))
