@@ -56,3 +56,22 @@ def test_native_sizes(rng):
         sizes[-1], np.bincount(labels.reshape(-1), minlength=len(seeds) + 1)
     )
     assert (sizes.sum(axis=1) == img.size).all()
+
+
+def test_heap_oracle_matches_native(rng):
+    # Third independent implementation (event-driven heap claiming,
+    # parity/heap_oracle.py) vs the C++ level-sweep oracle: agreement pins
+    # the semantics, not a shared reading.
+    from rustronomy_watershed_tpu.parity.heap_oracle import (
+        heap_find_local_minima,
+        heap_transform,
+    )
+
+    img = rng.integers(0, 20, size=(28, 32)).astype(np.uint8)
+    seeds = native.native_find_local_minima(img)
+    assert seeds == heap_find_local_minima(img)
+    for merging in (False, True):
+        want, wsz = native.native_transform(img, seeds, 254, merging=merging, with_sizes=True)
+        got, gsz = heap_transform(img, seeds, 254, merging=merging, with_sizes=True)
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(gsz, wsz)
