@@ -178,6 +178,18 @@ class _WatershedBase(WatershedUtils):
         ``MergingWatershed::transform`` is a constant-123 stub; both are bugs
         with no useful behaviour to replicate.
         """
+        if self._needs_host_loop():
+            # Observability (hook/plots/progress/debug/checkpoint) runs the
+            # host-stepped loop, like the reference's clone_with_hook canned
+            # hooks (src/lib.rs:1810-1822); we take the LAST level's view
+            # (the documented intent — the reference's [0] indexing panics,
+            # SURVEY.md Q6).
+            clone = self._clone_with_hook(
+                lambda ctx: ctx.colours.copy()
+                if ctx.water_level == ctx.max_water_level
+                else None
+            )
+            return clone._host_stepped(input_img, seeds)[-1]
         img, labels0 = self._prepare(input_img, seeds)
         if self.mesh is not None:
             from ..parallel.tiled import tiled_transform
@@ -316,6 +328,25 @@ class _WatershedBase(WatershedUtils):
         vector length (src/lib.rs:630, SURVEY.md Q10); pass e.g.
         ``len(seeds) + 1`` for a compact result.
         """
+        if self._needs_host_loop():
+            # The reference implements transform_to_list as
+            # clone_with_hook(find_lake_sizes) (src/lib.rs:1551-1561); the
+            # host-stepped loop gives debug/plots/progress their per-level
+            # views and times the hook into PerfReport.lake_count_ms.
+            length = counts_length
+
+            def find_lake_sizes(ctx):
+                n = length if length is not None else ctx.colours.size + 1
+                counts = np.bincount(
+                    ctx.colours.reshape(-1).astype(np.int64), minlength=n
+                )[:n]
+                row = np.zeros(n, dtype=np.int64)
+                row[: len(counts)] = counts
+                return (ctx.water_level, row)
+
+            return self._clone_with_hook(find_lake_sizes)._host_stepped(
+                input_img, seeds
+            )
         img, labels0 = self._prepare(input_img, seeds)
         bucket = _label_bucket(len(seeds))
         if self.mesh is not None:
@@ -370,6 +401,10 @@ class _WatershedBase(WatershedUtils):
     def transform_history(self, input_img, seeds) -> list[tuple[int, np.ndarray]]:
         """Per-level label snapshots (src/lib.rs:1233-1237); memory-heavy:
         (levels, H, W) int32 accumulated on device."""
+        if self._needs_host_loop():
+            return self._clone_with_hook(
+                lambda ctx: (ctx.water_level, ctx.colours.copy())
+            )._host_stepped(input_img, seeds)
         img, labels0 = self._prepare(input_img, seeds)
         _, hist = run_levels(
             img,
@@ -394,14 +429,34 @@ class _WatershedBase(WatershedUtils):
         )
         img_np = np.asarray(img)
 
-        step = cache_resilient(jax.jit(
-            partial(
-                level_step_counted if self.debug else level_step,
-                merging=self._merging,
-                n_labels=bucket,
-                sweep_fn=self.sweep_fn,
+        if self.debug:
+            # Split-phase jits so the PerfReport can time candidate search,
+            # paint and merge separately, mirroring the reference's
+            # instrumentation points (src/lib.rs:1404-1436, :1446-1470).
+            from ..ops.flood import flood_candidates, paint
+            from ..ops.merge import merge_touching
+
+            cand_jit = cache_resilient(jax.jit(flood_candidates))
+            paint_jit = cache_resilient(jax.jit(paint))
+            merge_jit = (
+                cache_resilient(
+                    jax.jit(partial(merge_touching, n_labels=bucket))
+                )
+                if self._merging
+                else None
             )
-        ))
+        else:
+            # One jitted program per level; level_step_counted additionally
+            # returns the colouring-iteration count so the progress bar can
+            # tick once per fixed-point iteration (src/lib.rs:1395-1398).
+            step = cache_resilient(jax.jit(
+                partial(
+                    level_step_counted if self.progress else level_step,
+                    merging=self._merging,
+                    n_labels=bucket,
+                    sweep_fn=self.sweep_fn,
+                )
+            ))
 
         bar = ProgressBar(self.max_water_level) if self.progress else None
         if self.debug:
@@ -423,24 +478,54 @@ class _WatershedBase(WatershedUtils):
         results = []
         for lvl in range(start_lvl, self.max_water_level + 1):
             perf = PerfReport() if self.debug else None
-            t0 = time.perf_counter()
+            t_level = time.perf_counter()
             if self.debug:
+                # Host-stepped colouring loop with per-phase timers and
+                # per-iteration progress ticks, like the reference's 'debug'
+                # feature (src/lib.rs:1379-1438).  Slow (one dispatch per
+                # sweep) — that is the point of a debug mode.
+                lvl_j = jnp.int32(lvl)
+                painted_any = False
+                while True:
+                    if bar is not None:
+                        bar.tick()
+                    perf.loops += 1
+                    t0 = time.perf_counter()
+                    cand, nmin, any_p = cand_jit(img, labels, lvl_j)
+                    any_p = bool(any_p)  # forces the candidate search
+                    perf.big_iter_ms.append(
+                        int((time.perf_counter() - t0) * 1e3)
+                    )
+                    if not any_p:
+                        break
+                    t0 = time.perf_counter()
+                    labels = paint_jit(labels, cand, nmin)
+                    labels.block_until_ready()
+                    perf.colouring_mus.append(
+                        int((time.perf_counter() - t0) * 1e6)
+                    )
+                    painted_any = True
+                if merge_jit is not None and (painted_any or lvl == 0):
+                    t0 = time.perf_counter()
+                    labels = merge_jit(labels)
+                    labels.block_until_ready()
+                    perf.merge_ms = int((time.perf_counter() - t0) * 1e3)
+            elif self.progress:
                 labels, loops = step(img, labels, jnp.int32(lvl))
+                labels.block_until_ready()
+                # Per-colouring-iteration ticks (src/lib.rs:1395-1398); the
+                # loop count comes back from the single jitted level program.
+                for _ in range(int(loops)):
+                    bar.tick()
             else:
                 labels = step(img, labels, jnp.int32(lvl))
-            labels.block_until_ready()
-            if perf is not None:
-                perf.loops = int(loops)
-                perf.big_iter_ms.append(int((time.perf_counter() - t0) * 1e3))
+                labels.block_until_ready()
 
             labels_np = np.asarray(labels)
             if ckpt is not None:
                 ckpt.maybe_save(lvl, labels_np)
             if self.plot_path is not None:
                 self._plot_level(labels_np, lvl)
-            if perf is not None:
-                perf.total_ms = int((time.perf_counter() - t0) * 1e3)
-                print(perf)
             if bar is not None:
                 bar.inc()
             if self.wlvl_hook is not None:
@@ -451,7 +536,17 @@ class _WatershedBase(WatershedUtils):
                     colours=labels_np,
                     seeds=seed_colours,
                 )
+                t0 = time.perf_counter()
                 results.append(self.wlvl_hook(ctx))
+                if perf is not None:
+                    # Hook timing (find_lake_sizes is the transform_to_list
+                    # hook).  NB divergence: the reference DECLARES and
+                    # prints lake_count_ms but never assigns it
+                    # (src/lib.rs:649, :682 — no write site); we populate it.
+                    perf.lake_count_ms = int((time.perf_counter() - t0) * 1e3)
+            if perf is not None:
+                perf.total_ms = int((time.perf_counter() - t_level) * 1e3)
+                print(perf)
         if bar is not None:
             bar.finish()
         if ckpt is not None:

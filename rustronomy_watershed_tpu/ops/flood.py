@@ -86,3 +86,29 @@ def flood_fixed_point(img: jnp.ndarray, labels: jnp.ndarray, lvl, sweep_fn=None)
         cond, body, (labels, jnp.bool_(True), jnp.bool_(False))
     )
     return labels, painted
+
+
+def flood_candidates(img: jnp.ndarray, labels: jnp.ndarray, lvl, mask=None):
+    """The reference's ``find_flooded_px`` phase alone (src/lib.rs:196-257):
+    returns (cand, nmin, any_cand) without painting — lets the debug path
+    time candidate search and paint separately like the reference's
+    PerfReport does (src/lib.rs:1404-1436)."""
+    if mask is None:
+        mask = interior_mask(labels.shape[-2:])
+    up, down, left, right = roll4(labels)
+    big = jnp.int32(INT32_MAX)
+
+    def masked(n):
+        return jnp.where(n != UNCOLOURED, n, big)
+
+    nmin = jnp.minimum(
+        jnp.minimum(masked(up), masked(down)),
+        jnp.minimum(masked(left), masked(right)),
+    )
+    cand = (labels == UNCOLOURED) & (img <= lvl) & (nmin != big) & mask
+    return cand, nmin, jnp.any(cand)
+
+
+def paint(labels: jnp.ndarray, cand: jnp.ndarray, nmin: jnp.ndarray) -> jnp.ndarray:
+    """The paint phase (src/lib.rs:1428-1436): apply the found candidates."""
+    return jnp.where(cand, nmin, labels)

@@ -199,3 +199,75 @@ def test_tracing_context(tmp_path, rng):
     ws = TransformBuilder.default().set_max_water_lvl(3).build_segmenting()
     with trace(tmp_path):
         ws.transform(img, ws.find_local_minima(img))
+
+
+def test_debug_perf_report_all_fields(rng, capsys):
+    # The debug path must produce bit-identical output to the fast path AND
+    # populate every PerfReport field non-trivially (phase instrumentation,
+    # src/lib.rs:1404-1470; note lake_count_ms is never assigned upstream —
+    # we time the hook into it).
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 12, size=(24, 24)).astype(np.uint8)
+    fast = TransformBuilder.default().set_max_water_lvl(11).build_merging()
+    seeds = fast.find_local_minima(img)
+    want = fast.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+
+    dbg = TransformBuilder.default().set_max_water_lvl(11).enable_debug().build_merging()
+    got = dbg.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+    for (la, ca), (lb, cb) in zip(got, want):
+        assert la == lb
+        np.testing.assert_array_equal(ca, cb)
+
+    out = capsys.readouterr().out
+    assert "starting with" in out
+    assert "Performance Summary" in out
+    # every field appears with a parsed non-trivial value somewhere
+    import re
+
+    loops = [int(m) for m in re.findall(r">  Looped (\d+)x", out)]
+    assert max(loops) >= 2  # plateaus force >1 colouring iteration somewhere
+    merges = [int(m) for m in re.findall(r">  Merging: (\d+)ms", out)]
+    assert len(merges) == 12
+    lakes = re.findall(r">  Counting Lakes: (\d+)ms", out)
+    assert len(lakes) == 12
+    iters = re.findall(r">  Iteration Average: ([\d.]+)ms", out)
+    assert len(iters) == 12
+
+
+def test_progress_ticks_per_iteration(rng):
+    # Progress mode ticks once per colouring iteration plus inc per level
+    # (src/lib.rs:1395-1398, :1503-1507), while output stays bit-identical.
+    import io
+
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+    from rustronomy_watershed_tpu.utils import progress as progress_mod
+
+    img = rng.integers(0, 10, size=(24, 24)).astype(np.uint8)
+    fast = TransformBuilder.default().set_max_water_lvl(9).build_segmenting()
+    seeds = fast.find_local_minima(img)
+    want = fast.transform(img, seeds)
+
+    ticks = []
+    orig_tick = progress_mod.ProgressBar.tick
+
+    def counting_tick(self):
+        ticks.append(1)
+        return orig_tick(self)
+
+    progress_mod.ProgressBar.tick = counting_tick
+    try:
+        ws = (
+            TransformBuilder.default()
+            .set_max_water_lvl(9)
+            .enable_progress()
+            .build_segmenting()
+        )
+        ws.wlvl_hook = lambda ctx: ctx.colours.copy()
+        res = ws.transform_with_hook(img, seeds)
+    finally:
+        progress_mod.ProgressBar.tick = orig_tick
+    np.testing.assert_array_equal(res[-1], want)
+    # at least one tick per level, strictly more than the level count when
+    # plateaus force extra iterations
+    assert len(ticks) >= 10
