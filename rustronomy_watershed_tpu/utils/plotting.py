@@ -5,9 +5,11 @@ Counterpart of the reference's ``plots`` cargo feature
 PNGs named ``ws_lvl{N}.png`` rendered through one of five colour maps
 (grey_scale / viridis / magma / plasma / inferno).
 
-Instead of hardcoding the 256-entry matplotlib tables like the reference, the
-tables are taken from matplotlib itself (same data, zero duplication) with a
-computed fallback.  Colour-map callables keep the reference's scalar signature
+The 256-entry MAGMA/INFERNO/PLASMA/VIRIDIS tables ship as committed data
+(``colormap_tables.npz``, generated once from matplotlib — verified
+bit-identical to the reference's hardcoded tables, which carry the same
+CC0 mpl-colormaps data), so rendering needs no matplotlib and is faithful on
+minimal installs.  Colour-map callables keep the reference's scalar signature
 ``cmap(count, min, max) -> (r, g, b)`` so users can pass custom maps to
 ``TransformBuilder.set_plot_colour_map``; a vectorised fast path is used when
 rendering whole images.
@@ -26,24 +28,19 @@ import numpy as np
 NAN_COL = (0, 0, 0)
 
 
+_TABLES_NPZ = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "colormap_tables.npz"
+)
+
+
 @functools.lru_cache(maxsize=None)
 def _table(name: str) -> np.ndarray:
-    """256x3 float RGB table in [0, 1]."""
+    """256x3 float RGB table in [0, 1] (committed data, no matplotlib)."""
     if name == "grey_scale":
         g = np.linspace(0.0, 1.0, 256)
         return np.stack([g, g, g], axis=1)
-    try:
-        import matplotlib
-
-        cmap = matplotlib.colormaps[name]
-        return np.asarray(cmap(np.arange(256) / 255.0))[:, :3]
-    except Exception:
-        # Fallback: perceptually-reasonable approximation (cubic fits).
-        t = np.linspace(0.0, 1.0, 256)
-        r = np.clip(0.28 + 0.9 * t**1.5, 0, 1)
-        g = np.clip(0.0 + 1.0 * t, 0, 1)
-        b = np.clip(0.53 - 0.4 * t + 0.1 * t**2, 0, 1)
-        return np.stack([r, g, b], axis=1)
+    with np.load(_TABLES_NPZ) as z:
+        return z[name]
 
 
 def _index(count, mn, mx) -> int:

@@ -271,3 +271,38 @@ def test_progress_ticks_per_iteration(rng):
     # at least one tick per level, strictly more than the level count when
     # plateaus force extra iterations
     assert len(ticks) >= 10
+
+
+def test_colormap_tables_faithful():
+    # The committed tables must match matplotlib's (the same CC0 data the
+    # reference hardcodes in color_maps.rs:30-1064) byte-exactly after the
+    # u8 conversion — and, when the reference checkout is present, match its
+    # hardcoded tables too.
+    import os
+    import re
+
+    from rustronomy_watershed_tpu.utils.plotting import _table
+
+    try:
+        import matplotlib
+
+        for name in ("viridis", "magma", "plasma", "inferno"):
+            mine = (_table(name) * 255.999).astype(np.uint8)
+            mpl = (
+                np.asarray(matplotlib.colormaps[name](np.arange(256) / 255.0))[:, :3]
+                * 255.999
+            ).astype(np.uint8)
+            np.testing.assert_array_equal(mine, mpl)
+    except ImportError:
+        pass
+
+    ref = "/root/reference/src/plotting/color_maps.rs"
+    if os.path.exists(ref):
+        src = open(ref).read()
+        for name, const in [("magma", "MAGMA"), ("viridis", "VIRIDIS")]:
+            m = re.search(
+                rf"const {const}: \[\[f32; 3\]; 256\] = \[(.*?)\n\];", src, re.S
+            )
+            triples = re.findall(r"\[([\d.]+),\s*([\d.]+),\s*([\d.]+)\]", m.group(1))
+            want = np.array(triples, dtype=np.float64)
+            np.testing.assert_allclose(_table(name), want, atol=1e-6)
