@@ -178,6 +178,20 @@ class _WatershedBase(WatershedUtils):
         ``MergingWatershed::transform`` is a constant-123 stub; both are bugs
         with no useful behaviour to replicate.
         """
+        if self.backend == "native" and not self._needs_host_loop():
+            # Production CPU path: the C++ level-sweep engine
+            # (parity/oracle.cc) — the framework's native-runtime counterpart
+            # of the reference's rayon+jemalloc story.  Bit-identical to the
+            # device backends (pinned by tests/test_native_oracle.py).
+            from ..parity import native
+
+            return native.native_transform(
+                np.asarray(input_img, dtype=np.uint8),
+                seeds,
+                self.max_water_level,
+                merging=self._merging,
+                edge_correction=self.edge_correction,
+            ).astype(np.int32)
         if self._needs_host_loop():
             # Observability (hook/plots/progress/debug/checkpoint) runs the
             # host-stepped loop, like the reference's clone_with_hook canned
@@ -328,6 +342,32 @@ class _WatershedBase(WatershedUtils):
         vector length (src/lib.rs:630, SURVEY.md Q10); pass e.g.
         ``len(seeds) + 1`` for a compact result.
         """
+        if self.backend == "native" and not self._needs_host_loop():
+            from ..parity import native
+
+            _, sizes = native.native_transform(
+                np.asarray(input_img, dtype=np.uint8),
+                seeds,
+                self.max_water_level,
+                merging=self._merging,
+                edge_correction=self.edge_correction,
+                with_sizes=True,
+            )
+            if counts_length is None:
+                n_px = int(np.prod(np.asarray(input_img).shape))
+                if self.edge_correction:
+                    n_px = int(
+                        (np.asarray(input_img).shape[0] + 2)
+                        * (np.asarray(input_img).shape[1] + 2)
+                    )
+                counts_length = n_px + 1
+            out = []
+            for lvl in range(self.max_water_level + 1):
+                row = np.zeros(counts_length, dtype=np.int64)
+                k = min(sizes.shape[1], counts_length)
+                row[:k] = sizes[lvl, :k]
+                out.append((lvl, row))
+            return out
         if self._needs_host_loop():
             # The reference implements transform_to_list as
             # clone_with_hook(find_lake_sizes) (src/lib.rs:1551-1561); the

@@ -306,3 +306,22 @@ def test_colormap_tables_faithful():
             triples = re.findall(r"\[([\d.]+),\s*([\d.]+),\s*([\d.]+)\]", m.group(1))
             want = np.array(triples, dtype=np.float64)
             np.testing.assert_allclose(_table(name), want, atol=1e-6)
+
+
+def test_native_backend_public_api(rng):
+    # backend='native' routes through the C++ engine and matches the device
+    # path bit-exactly on both entry points.
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    pytest.importorskip("rustronomy_watershed_tpu.parity.native")
+    img = rng.integers(0, 15, size=(32, 32)).astype(np.uint8)
+    dev = TransformBuilder.default().set_max_water_lvl(14).build_merging()
+    nat = TransformBuilder.default().set_max_water_lvl(14).build_merging()
+    nat.backend = "native"
+    seeds = dev.find_local_minima(img)
+    np.testing.assert_array_equal(nat.transform(img, seeds), dev.transform(img, seeds))
+    a = nat.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+    b = dev.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+    for (la, ca), (lb, cb) in zip(a, b):
+        assert la == lb
+        np.testing.assert_array_equal(ca, cb)
