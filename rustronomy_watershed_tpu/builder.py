@@ -108,7 +108,7 @@ class TransformBuilder:
         """'auto' (default: priority relaxation for segmenting; Pallas
         level-sweep kernel for merging on accelerators, jnp on CPU),
         'relax' (segmenting-only), 'pallas', or 'jnp' — all bit-identical."""
-        if backend not in ("auto", "relax", "relax_pallas", "pallas", "jnp"):
+        if backend not in ("auto", "relax", "relax_pallas", "pallas", "jnp", "native"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         return self
