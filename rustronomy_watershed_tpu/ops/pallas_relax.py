@@ -61,8 +61,9 @@ def pack_domain(img, labels0, tile: int = DEFAULT_TILE, steps: int = DEFAULT_STE
     """(v_pad int8-biased, key_pad int32, lab_pad int32) padded planes.
 
     Real 1-px border forced to NEVER_FILL (window-centre rule); aprons are
-    NEVER_FILL / unclaimed / 0 — apron candidates always carry L >= 255 and
-    are rejected by the claim clamp, so aprons never propagate.
+    NEVER_FILL / unclaimed / 0 — apron restarts are rejected by the vcand
+    pre-clamp (v > NORMAL_MAX) and extends saturate at d == dmax, so aprons
+    never claim and never propagate.
     """
     img = jnp.asarray(img).astype(jnp.int32)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
@@ -134,19 +135,25 @@ def _relax_kernel(
     def compute_and_write():
         # All candidate math runs on PACKED keys — no unpack/repack shifts:
         #   extend(kq) for a neighbour with level(kq) >= v is
-        #     (same L, d+1 saturated) == min(kq + 1, kq | dmax),
-        #   else the path restarts at this pixel's level: (v << 23) | 1.
-        # kq = UNCLAIMED has d == dmax, so ext == kq stays UNCLAIMED with no
-        # overflow; the maxkey clamp rejects claims above NORMAL_MAX (killing
-        # apron / NEVER_FILL propagation: their candidates exceed maxkey).
+        #     (same L, d+1 saturated) == (kq if d == dmax else kq + 1),
+        #   else the path restarts at this pixel's level: (v << 23) | 1,
+        #     pre-clamped per PIXEL (not per direction per sweep) to
+        #     UNCLAIMED where v > NORMAL_MAX (vcand).
+        # No other clamp is needed: restarts at v >= 255 are rejected by
+        # vcand and extends preserve the neighbour's level, so a key above
+        # NORMAL_MAX can never be created — aprons / NEVER_FILL pixels stay
+        # UNCLAIMED (their d == dmax saturates ext) and never propagate.
         vkey = jax.lax.shift_left(v2[slot].astype(jnp.int32) + 128, _D_BITS)
-        vkey1 = jax.lax.bitwise_or(vkey, jnp.int32(1))
+        vcand = jnp.where(
+            vkey > jnp.int32(NORMAL_MAX << _D_BITS),
+            jnp.int32(_UNCLAIMED),
+            jax.lax.bitwise_or(vkey, jnp.int32(1)),
+        )
         key0 = key2[slot]
         lab0 = lab2[slot]
         wp = key0.shape[1]
         biglab = jnp.int32(2**30)
         dmax = jnp.int32(_D_MAX)
-        maxkey = jnp.int32((NORMAL_MAX << _D_BITS) | _D_MAX)
 
         def rolls(a):
             return (
@@ -163,8 +170,7 @@ def _relax_kernel(
             for kq in kq4:
                 sat = jax.lax.bitwise_and(kq, dmax) == dmax
                 ext = jnp.where(sat, kq, kq + 1)
-                cand = jnp.where(kq >= vkey, ext, vkey1)
-                cand = jnp.where(cand > maxkey, jnp.int32(_UNCLAIMED), cand)
+                cand = jnp.where(kq >= vkey, ext, vcand)
                 best = jnp.minimum(best, cand)
             labmin = jnp.full_like(lab, biglab)
             for kq, lq in zip(kq4, lq4):
@@ -302,7 +308,7 @@ def relax_block(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         input_output_aliases={2: 0, 3: 1},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(active, v_pad, key_pad, lab_pad)
     return key2, lab2, flags[:, 0], chg[0, 0] > 0
