@@ -121,6 +121,11 @@ class _WatershedBase(WatershedUtils):
         """'auto': the priority-relaxation engine wherever it applies
         (segmenting always; merging except per-level history), else the
         level-sweep backends (Pallas kernel on accelerators, jnp on CPU)."""
+        if self.backend == "native":
+            # The C++ engine serves transform / transform_to_list directly
+            # (special-cased before run_levels); every other path needs a
+            # device backend — fall back to the portable level sweep.
+            return "jnp"
         if self.backend != "auto":
             return self.backend
         cpu = jax.default_backend() == "cpu"
@@ -283,16 +288,32 @@ class _WatershedBase(WatershedUtils):
             imgs[:, -1, :] = NEVER_FILL
             imgs[:, :, 0] = NEVER_FILL
             imgs[:, :, -1] = NEVER_FILL
+            # Segmenting on the stacked plane (claims cannot cross the
+            # unclaimable border rows); the merge union must run PER IMAGE —
+            # on the stacked plane each image's interior rows 0/H-1 are no
+            # longer global-border rows, so the component scan would join
+            # border-seed pairs the per-image semantics keep apart.
             out = run_levels(
                 jnp.asarray(imgs.reshape(b * h, w)),
                 labels0.reshape(b * h, w),
                 n_labels=bucket,
                 max_water_level=self.max_water_level,
-                merging=self._merging,
+                merging=False,
                 collect="none",
                 backend=backend,
             )
-            return np.asarray(out).reshape(b, h, w)
+            out = jnp.asarray(out).reshape(b, h, w)
+            if self._merging:
+                from ..ops.scan_merge import component_min_labels
+
+                merge_one = partial(
+                    component_min_labels,
+                    use_pallas=(backend == "relax_pallas"),
+                )
+                out = cache_resilient(
+                    jax.jit(lambda x: jax.lax.map(merge_one, x))
+                )(out)
+            return np.asarray(out)
 
         # Level-sweep backends: vmap over the jnp driver.  (The pallas flood
         # kernel does not support vmap; merging label tables are per-image
@@ -513,7 +534,11 @@ class _WatershedBase(WatershedUtils):
             if latest is not None:
                 start_lvl, lab_np = latest
                 labels = jnp.asarray(lab_np)
-                start_lvl += 1  # resume at the level after the snapshot
+                # Resume at the level after the snapshot; a snapshot taken AT
+                # the final level re-runs that level (idempotent: the flood
+                # fixed point and merge are no-ops on converged labels) so
+                # hooks/plots for the final level still fire.
+                start_lvl = min(start_lvl + 1, self.max_water_level)
 
         results = []
         for lvl in range(start_lvl, self.max_water_level + 1):

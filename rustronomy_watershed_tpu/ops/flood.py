@@ -38,22 +38,8 @@ def flood_sweep(img: jnp.ndarray, labels: jnp.ndarray, lvl, mask=None) -> jnp.nd
     The tiled (shard_map) driver passes a *global*-interior mask in halo
     coordinates instead.
     """
-    if mask is None:
-        mask = interior_mask(labels.shape[-2:])
-    up, down, left, right = roll4(labels)
-    # Min nonzero neighbour label; INT32_MAX where a neighbour is uncoloured.
-    big = jnp.int32(INT32_MAX)
-
-    def masked(n):
-        return jnp.where(n != UNCOLOURED, n, big)
-
-    nmin = jnp.minimum(
-        jnp.minimum(masked(up), masked(down)),
-        jnp.minimum(masked(left), masked(right)),
-    )
-    has_coloured = nmin != big
-    cand = (labels == UNCOLOURED) & (img <= lvl) & has_coloured & mask
-    return jnp.where(cand, nmin, labels)
+    cand, nmin, _ = flood_candidates(img, labels, lvl, mask)
+    return paint(labels, cand, nmin)
 
 
 def flood_fixed_point(img: jnp.ndarray, labels: jnp.ndarray, lvl, sweep_fn=None):
@@ -90,9 +76,9 @@ def flood_fixed_point(img: jnp.ndarray, labels: jnp.ndarray, lvl, sweep_fn=None)
 
 def flood_candidates(img: jnp.ndarray, labels: jnp.ndarray, lvl, mask=None):
     """The reference's ``find_flooded_px`` phase alone (src/lib.rs:196-257):
-    returns (cand, nmin, any_cand) without painting — lets the debug path
-    time candidate search and paint separately like the reference's
-    PerfReport does (src/lib.rs:1404-1436)."""
+    returns (cand, nmin, any_cand) without painting — the single home of the
+    claim rule, shared by flood_sweep and the debug path's separate
+    candidate/paint timers (src/lib.rs:1404-1436)."""
     if mask is None:
         mask = interior_mask(labels.shape[-2:])
     up, down, left, right = roll4(labels)

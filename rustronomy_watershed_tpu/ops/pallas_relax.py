@@ -17,9 +17,8 @@ Representation: the lexicographic key (L, d) packs into ONE int32,
   exact-unpacked jnp engine remains available for adversarial inputs).
 
 Bands follow the flood kernel's layout (full-width rows, P-row halo,
-wrap-rolls with ghost corruption confined to the discarded halo, last-sweep
-centre-change witness for the global fixed point) plus its two proven
-perf techniques (ops/pallas_flood.py):
+wrap-rolls with ghost corruption confined to the discarded halo) plus the
+flood kernel's two proven perf techniques (ops/pallas_flood.py):
 
 * **in-place aliased state**: the key/label planes are aliased
   inputs->outputs and bands write only their changed centre rows.  This is
@@ -118,19 +117,51 @@ def _relax_kernel(
 
     flags_ref[i, 0] = 0
 
-    def in_dmas(s, band):
+    # Window DMAs.  The key/label windows are split into a TOP-HALO region
+    # (p rows — the only rows band i-1's in-place centre write overlaps) and
+    # the rest, so the pipelined mode can order predecessor-write-after-
+    # successor-prefetch on exactly the overlapping region.
+    # sems: 0=v, 1=key_top, 2=key_rest, 3=lab_top, 4=lab_rest, 5/6=out.
+    def dma_v(s, band):
+        row0 = band * t
+        return pltpu.make_async_copy(
+            v_hbm.at[pl.ds(row0, win), :], v2.at[s], sems.at[s, 0]
+        )
+
+    def dma_tops(s, band):
         row0 = band * t
         return (
             pltpu.make_async_copy(
-                v_hbm.at[pl.ds(row0, win), :], v2.at[s], sems.at[s, 0]
+                key_in.at[pl.ds(row0, p), :], key2.at[s, pl.ds(0, p), :],
+                sems.at[s, 1],
             ),
             pltpu.make_async_copy(
-                key_in.at[pl.ds(row0, win), :], key2.at[s], sems.at[s, 1]
-            ),
-            pltpu.make_async_copy(
-                lab_in.at[pl.ds(row0, win), :], lab2.at[s], sems.at[s, 2]
+                lab_in.at[pl.ds(row0, p), :], lab2.at[s, pl.ds(0, p), :],
+                sems.at[s, 3],
             ),
         )
+
+    def dma_rests(s, band):
+        row0 = band * t
+        return (
+            pltpu.make_async_copy(
+                key_in.at[pl.ds(row0 + p, t + p), :],
+                key2.at[s, pl.ds(p, t + p), :],
+                sems.at[s, 2],
+            ),
+            pltpu.make_async_copy(
+                lab_in.at[pl.ds(row0 + p, t + p), :],
+                lab2.at[s, pl.ds(p, t + p), :],
+                sems.at[s, 4],
+            ),
+        )
+
+    def start_all(s, band):
+        dma_v(s, band).start()
+        for dma in dma_tops(s, band):
+            dma.start()
+        for dma in dma_rests(s, band):
+            dma.start()
 
     def compute_and_write():
         # All candidate math runs on PACKED keys — no unpack/repack shifts:
@@ -199,7 +230,17 @@ def _relax_kernel(
         )
 
         flags_ref[i, 0] = any_ctr.astype(jnp.int32)
-        chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], last_ctr.astype(jnp.int32))
+        # Convergence witness — mode-dependent soundness argument:
+        # * pipelined: every band's reads are EXACTLY the call-start state
+        #   (successor prefetch completion is ordered before the in-place
+        #   write; see below), i.e. the call is a true global Jacobi block,
+        #   so "last sweep quiescent in every band" certifies the fixed
+        #   point (centres at internal steps P-1 and P equal the global
+        #   sweeps G_{P-1} and G_P — ops/pallas_flood.py's argument).
+        # * sparse: active bands read each other Gauss-Seidel-style, so the
+        #   certificate must be "NO band wrote anything this call".
+        witness = last_ctr if pipelined else any_ctr
+        chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], witness.astype(jnp.int32))
 
         # In-place write of the changed centre rows only.
         @pl.when(any_ctr)
@@ -210,12 +251,12 @@ def _relax_kernel(
             co1 = pltpu.make_async_copy(
                 key2.at[slot, pl.ds(p, t), :],
                 key_out.at[pl.ds(row0 + p, t), :],
-                sems.at[slot, 3],
+                sems.at[slot, 5],
             )
             co2 = pltpu.make_async_copy(
                 lab2.at[slot, pl.ds(p, t), :],
                 lab_out.at[pl.ds(row0 + p, t), :],
-                sems.at[slot, 4],
+                sems.at[slot, 6],
             )
             co1.start()
             co2.start()
@@ -224,21 +265,37 @@ def _relax_kernel(
 
     if pipelined:
         # Dense mode: UNCONDITIONAL cross-band DMA pipelining (band i+1's
-        # window prefetches during band i's compute).  Activity only gates
-        # compute/writes.  NOTE: conditional cross-step issue/wait pairing
-        # deadlocks the DMA engine (see ops/pallas_flood.py) — do not.
+        # window prefetches during band i's compute) with Jacobi-consistent
+        # reads: band i's in-place centre write overlaps ONLY band i+1's
+        # top-halo region (requires tile >= steps), and that region's
+        # prefetch is waited below BEFORE band i may write — so every band
+        # reads the call-start state.  Band i's own top halo was waited by
+        # band i-1 for the same reason (band 0 waits it itself).  All
+        # issue/wait pairs are static — conditional cross-step pairing
+        # deadlocks the DMA engine (see ops/pallas_flood.py).
         @pl.when(i == 0)
         def _():
-            for dma in in_dmas(slot, i):
-                dma.start()
+            start_all(slot, i)
 
         @pl.when(i + 1 < gy)
         def _():
-            for dma in in_dmas(nslot, i + 1):
-                dma.start()
+            start_all(nslot, i + 1)
 
-        for dma in in_dmas(slot, i):
+        dma_v(slot, i).wait()
+        for dma in dma_rests(slot, i):
             dma.wait()
+
+        @pl.when(i == 0)
+        def _():
+            for dma in dma_tops(slot, i):
+                dma.wait()
+
+        @pl.when(i + 1 < gy)
+        def _():
+            # Successor's top halo (= the tail of OUR centre) must be safely
+            # in VMEM before our in-place write; band i+1 does not re-wait.
+            for dma in dma_tops(nslot, i + 1):
+                dma.wait()
 
         @pl.when(active_ref[i] > 0)
         def _():
@@ -247,9 +304,11 @@ def _relax_kernel(
         # Sparse mode: only active bands touch HBM at all.
         @pl.when(active_ref[i] > 0)
         def _():
-            for dma in in_dmas(slot, i):
-                dma.start()
-            for dma in in_dmas(slot, i):
+            start_all(slot, i)
+            dma_v(slot, i).wait()
+            for dma in dma_tops(slot, i):
+                dma.wait()
+            for dma in dma_rests(slot, i):
                 dma.wait()
             compute_and_write()
 
@@ -270,6 +329,11 @@ def relax_block(
     Returns (key', lab', flags, not_converged): flags[i] != 0 iff band i's
     centre changed; not_converged == False certifies the global fixed point.
     """
+    if tile < steps:
+        raise ValueError(
+            f"relax_block needs tile >= steps (got {tile} < {steps}): the "
+            "pipelined write-ordering covers exactly the successor's top halo"
+        )
     hp, wp = v_pad.shape
     p = steps
     gy = (hp - 2 * p) // tile
@@ -293,7 +357,7 @@ def relax_block(
             pltpu.VMEM((2, win, wp), jnp.int8),
             pltpu.VMEM((2, win, wp), jnp.int32),
             pltpu.VMEM((2, win, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA((2, 7)),
         ],
     )
 

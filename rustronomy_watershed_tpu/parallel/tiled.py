@@ -427,8 +427,6 @@ def tiled_transform(
     if squeeze:
         if collect == "none":
             return out[0]
-        if collect == "sizes":
-            return out[0][0], out[1][:, 0]
         return out[0][0], out[1][:, 0]
     return out
 

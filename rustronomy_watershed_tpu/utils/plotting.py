@@ -22,15 +22,14 @@ and ``count <= min`` renders the NaN colour (black).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
 NAN_COL = (0, 0, 0)
 
 
-_TABLES_NPZ = __import__("os").path.join(
-    __import__("os").path.dirname(__file__), "colormap_tables.npz"
-)
+_TABLES_NPZ = os.path.join(os.path.dirname(__file__), "colormap_tables.npz")
 
 
 @functools.lru_cache(maxsize=None)

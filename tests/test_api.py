@@ -325,3 +325,42 @@ def test_native_backend_public_api(rng):
     for (la, ca), (lb, cb) in zip(a, b):
         assert la == lb
         np.testing.assert_array_equal(ca, cb)
+
+
+def test_native_backend_history_and_hookless(rng):
+    # Regression (r2 review): backend='native' must not crash the paths that
+    # need a device driver (transform_history, hookless transform_with_hook).
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 8, size=(16, 16)).astype(np.uint8)
+    nat = TransformBuilder.default().set_max_water_lvl(7).set_backend("native").build_merging()
+    dev = TransformBuilder.default().set_max_water_lvl(7).build_merging()
+    seeds = dev.find_local_minima(img)
+    assert nat.transform_with_hook(img, seeds) == []
+    want = dev.transform_history(img, seeds)
+    got = nat.transform_history(img, seeds)
+    for (la, ca), (lb, cb) in zip(got, want):
+        assert la == lb
+        np.testing.assert_array_equal(ca, cb)
+
+
+def test_checkpoint_resume_after_completion(rng, tmp_path):
+    # Regression (r2 review): resuming from a checkpoint saved AT the final
+    # water level must return the final labels, not crash on an empty loop.
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 8, size=(16, 16)).astype(np.uint8)
+    plain = TransformBuilder.default().set_max_water_lvl(7).build_segmenting()
+    seeds = plain.find_local_minima(img)
+    want = plain.transform(img, seeds)
+
+    ws = (
+        TransformBuilder.default()
+        .set_max_water_lvl(7)
+        .set_checkpoint(str(tmp_path), every=1)
+        .build_segmenting()
+    )
+    first = ws.transform(img, seeds)
+    np.testing.assert_array_equal(first, want)
+    again = ws.transform(img, seeds)  # resumes from the final snapshot
+    np.testing.assert_array_equal(again, want)

@@ -227,3 +227,26 @@ def test_tiled_history_merging_sweep(rng):
                               max_water_level=MAXLVL, merging=True, halo=2,
                               collect="history")
     np.testing.assert_array_equal(np.asarray(hist), np.asarray(want_hist))
+
+
+def test_transform_batch_merging_border_seeds(rng):
+    # Regression (r2 review): on the stacked batch plane an inner image's
+    # rows 0/H-1 are not global-border rows, so the component scan would
+    # merge border-seed pairs the per-image semantics keep apart — and
+    # facing border seeds of ADJACENT images must never merge.
+    from rustronomy_watershed_tpu import TransformBuilder
+
+    h, w = 12, 16
+    imgs = rng.integers(0, 6, size=(3, h, w)).astype(np.uint8)
+    ws = TransformBuilder.default().set_max_water_lvl(5).build_merging()
+    # border seeds: adjacent pair in each image's row 0, plus facing seeds
+    # across the image-boundary rows of images 0/1.
+    seeds_list = [
+        [(0, 4), (0, 5), (h - 1, 7), (6, 6)],
+        [(0, 7), (0, 2), (5, 5)],
+        [(0, 1), (h - 1, 3), (4, 9)],
+    ]
+    batched = ws.transform_batch(imgs, seeds_list)
+    for i in range(3):
+        single = ws.transform(imgs[i], seeds_list[i])
+        np.testing.assert_array_equal(batched[i], single, err_msg=f"img{i}")
