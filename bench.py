@@ -59,7 +59,8 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "relax_pallas")
     reps = int(os.environ.get("BENCH_REPS", "3"))
     inner = int(os.environ.get("BENCH_INNER", "8"))
-    tile = int(os.environ.get("BENCH_TILE", "256"))
+    tile_env = os.environ.get("BENCH_TILE")
+    tile = int(tile_env) if tile_env else None
     steps = int(os.environ.get("BENCH_STEPS", "16"))
 
     rng = np.random.default_rng(0)

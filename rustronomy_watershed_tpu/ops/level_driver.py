@@ -181,7 +181,7 @@ def run_levels_impl(
 
             labels, claim_levels = relax_transform_pallas(
                 img, labels0, max_water_level=max_water_level,
-                tile=tile or pallas_relax.DEFAULT_TILE,
+                tile=tile,
                 steps=steps or pallas_relax.DEFAULT_STEPS,
                 interpret=interpret,
             )

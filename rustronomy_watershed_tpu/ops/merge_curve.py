@@ -116,7 +116,7 @@ def _device_curves(
             img,
             labels0,
             max_water_level=max_water_level,
-            tile=tile or pallas_relax.DEFAULT_TILE,
+            tile=tile,
             steps=steps or pallas_relax.DEFAULT_STEPS,
             interpret=interpret,
         )

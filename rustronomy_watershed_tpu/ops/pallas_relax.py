@@ -50,6 +50,19 @@ from ..constants import INT32_MAX, NEVER_FILL, NORMAL_MAX, UNCOLOURED
 DEFAULT_TILE = 256
 DEFAULT_STEPS = 16
 
+
+def auto_tile(width: int, steps: int = DEFAULT_STEPS) -> int:
+    """Band height fitting the kernel's VMEM footprint at this image width.
+
+    Mosaic's compute intermediates for the unrolled sweep cost ~80 B per
+    window element (measured: a (288, 8320) window compiles to ~188 MB of
+    scoped VMEM); keep win*wp*80 under ~105 MB of the chip's 128 MB.
+    256 is the tuned optimum at 4096² and the cap.
+    """
+    wp = -(-(width + 2 * steps) // 128) * 128
+    tile = (105_000_000 // (wp * 80) - 2 * steps) // 8 * 8
+    return int(max(8, min(DEFAULT_TILE, tile)))
+
 _D_BITS = 23
 _D_MAX = (1 << _D_BITS) - 1
 _UNCLAIMED = INT32_MAX
@@ -420,14 +433,17 @@ def relax_transform_pallas(
     labels0,
     *,
     max_water_level: int = 254,
-    tile=DEFAULT_TILE,
+    tile=None,
     steps=DEFAULT_STEPS,
     interpret=False,
 ):
     """Full segmenting transform; bit-identical to ops.priority.relax_transform
-    (and hence to the level-sweep drivers).  Returns (labels, claim_levels)."""
+    (and hence to the level-sweep drivers).  Returns (labels, claim_levels).
+    ``tile=None`` picks the widest band that fits VMEM (auto_tile)."""
     img = jnp.asarray(img)
     h, w = img.shape
+    if tile is None:
+        tile = auto_tile(w, steps)
     v_pad, key_pad, lab_pad = pack_domain(img, labels0, tile, steps)
     key, lab = relax_fixed_point(
         v_pad, key_pad, lab_pad, tile=tile, steps=steps, interpret=interpret
