@@ -116,6 +116,7 @@ def _relax_kernel(
     tile,
     steps,
     pipelined,
+    ctr_cols=None,
 ):
     t, p = tile, steps
     win = t + 2 * p
@@ -199,6 +200,16 @@ def _relax_kernel(
         biglab = jnp.int32(2**30)
         dmax = jnp.int32(_D_MAX)
 
+        # Centre-column mask for CHANGE DETECTION only (tiled/shard_map use:
+        # halo and lane-padding columns evolve every call — their state is
+        # discarded and re-exchanged each round, so counting them would block
+        # convergence forever).  The `rest`-loop gate stays UNMASKED: a
+        # halo-only change in sweep j can reach the centre in sweep j+1.
+        if ctr_cols is not None:
+            lo, hi = ctr_cols
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+            colmask = (cols >= lo) & (cols < hi)
+
         def rolls(a):
             return (
                 pltpu.roll(a, 1, 0),
@@ -221,7 +232,10 @@ def _relax_kernel(
                 labmin = jnp.minimum(labmin, jnp.where(kq < best, lq, biglab))
             new_lab = jnp.where(labmin == biglab, lab, labmin)
             chg = (best != key) | (new_lab != lab)
-            return best, new_lab, jnp.any(chg), jnp.any(chg[p : p + t, :])
+            chg_ctr = chg[p : p + t, :]
+            if ctr_cols is not None:
+                chg_ctr = chg_ctr & colmask
+            return best, new_lab, jnp.any(chg), jnp.any(chg_ctr)
 
         key1, lab1, chg1_win, chg1_ctr = one_sweep(key0, lab0)
 
@@ -336,11 +350,15 @@ def relax_block(
     steps=DEFAULT_STEPS,
     interpret=False,
     pipelined=True,
+    ctr_cols=None,
 ):
     """P fused relaxation sweeps over the active bands (in-place aliased).
 
     Returns (key', lab', flags, not_converged): flags[i] != 0 iff band i's
     centre changed; not_converged == False certifies the global fixed point.
+    ``ctr_cols=(lo, hi)`` restricts change DETECTION to a static column range
+    (tiled/shard_map use — see the kernel comment); the sweeps themselves
+    always run full-width.
     """
     if tile < steps:
         raise ValueError(
@@ -376,7 +394,13 @@ def relax_block(
 
     active = jnp.asarray(active, dtype=jnp.int32)
     key2, lab2, flags, chg = pl.pallas_call(
-        partial(_relax_kernel, tile=tile, steps=steps, pipelined=pipelined),
+        partial(
+            _relax_kernel,
+            tile=tile,
+            steps=steps,
+            pipelined=pipelined,
+            ctr_cols=ctr_cols,
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),

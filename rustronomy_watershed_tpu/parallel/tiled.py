@@ -209,6 +209,37 @@ def _local_relax_driver(
         lambda s: s[1], body, ((L, d, lab_tile), jnp.bool_(True))
     )
     labels = jnp.where(L <= max_water_level, lab, UNCOLOURED)
+    return _relax_collect_tail(
+        labels,
+        L,
+        global_shape=global_shape,
+        n_labels=n_labels,
+        max_water_level=max_water_level,
+        merging=merging,
+        collect=collect,
+        axis_y=axis_y,
+        axis_x=axis_x,
+        control_axes=control_axes,
+    )
+
+
+def _relax_collect_tail(
+    labels,
+    L,
+    *,
+    global_shape,
+    n_labels,
+    max_water_level,
+    merging,
+    collect,
+    axis_y,
+    axis_x,
+    control_axes,
+):
+    """Shared statistics/merge tail of the tiled relax engines: per-level
+    curves and history snapshots come post-hoc from the claim levels L."""
+    axes = (axis_y, axis_x)
+    h, w = labels.shape[-2:]
 
     if merging:
         # Final merged labels: transitive union over the claimed set (the
@@ -242,6 +273,123 @@ def _local_relax_driver(
         return labels, hist  # (levels, B, h, w)
 
     raise ValueError(f"unknown collect mode {collect!r}")
+
+
+def _local_relax_pallas_driver(
+    img_tile,
+    lab_tile,
+    *,
+    global_shape,
+    n_labels,
+    max_water_level,
+    merging,
+    halo,
+    collect,
+    axis_y,
+    axis_x,
+    control_axes,
+    band_tile,
+    interpret,
+):
+    """Tiled priority relaxation with the Pallas packed-key kernel per tile.
+
+    Per round: exchange k-px halos of the packed (key, label) planes over ICI
+    (2 planes instead of the jnp engine's 3), then ONE kernel call runs k
+    fused relaxation sweeps per tile — k sweeps per HBM round-trip instead of
+    one, which is what makes the mesh path single-chip-class per chip.
+
+    Soundness (on top of ops/pallas_relax.py's single-device arguments):
+
+    * trajectory: apron ROWS are frozen during a call (the kernel writes band
+      centres only), so boundary pixels relax against round-start neighbour
+      values — a bounded-staleness asynchronous iteration.  Keys decrease
+      monotonically to the unique fixed point and labels have a unique
+      solution given the key fixed point, so the FINAL state is bit-identical
+      to the jnp tiled engine and the single-device drivers even though the
+      trajectory differs.
+    * padding: lane-padding columns carry UNCLAIMED keys and NEVER_FILL
+      values — they can neither claim nor donate, so no corruption enters
+      from them; halo columns evolve within a call (including one ring of
+      wrap-ghost corruption per sweep from the window edge, penetrating at
+      most k-1 < k columns into the halo) and are cropped + re-exchanged
+      every round.
+    * convergence: declared only on a round in which NO band centre changed
+      over CENTRE columns in any tile (the kernel's ctr_cols mask).  In such
+      a round every real pixel is some tile's band-centre pixel whose sweep-1
+      update read fresh-exchanged neighbour values and changed nothing — a
+      global Jacobi fixed point.
+    """
+    from ..ops import pallas_relax as pr
+
+    b, h, w = lab_tile.shape
+    k = halo
+
+    # Static image plane: exchange once, apply the GLOBAL border rule, embed
+    # into the kernel's lane-padded domain as biased int8.
+    v_p = exchange_halo(
+        img_tile.astype(jnp.int32), k, axis_y, axis_x, off_grid_fill=NEVER_FILL
+    )
+    interior = global_interior_mask((h, w), global_shape, k, axis_y, axis_x)
+    v_p = jnp.where(interior, v_p, NEVER_FILL)
+    wp = -(-(w + 2 * k) // 128) * 128
+    v_pad = jnp.full((b, h + 2 * k, wp), NEVER_FILL, dtype=jnp.int32)
+    v_pad = jax.lax.dynamic_update_slice(v_pad, v_p, (0, 0, 0))
+    v_pad = (v_pad - 128).astype(jnp.int8)
+
+    lab0 = lab_tile.astype(jnp.int32)
+    unclaimed = jnp.int32(INT32_MAX)
+    key0 = jnp.where(lab0 != UNCOLOURED, jnp.int32(0), unclaimed)
+    gy = h // band_tile
+    active = jnp.ones((gy,), jnp.int32)
+    pad_cols = ((0, 0), (0, 0), (0, wp - (w + 2 * k)))
+
+    def body(state):
+        (key, lab), _ = state
+        keyp = exchange_halo(key, k, axis_y, axis_x, off_grid_fill=INT32_MAX)
+        labp = exchange_halo(lab, k, axis_y, axis_x, off_grid_fill=UNCOLOURED)
+        keyp = jnp.pad(keyp, pad_cols, constant_values=INT32_MAX)
+        labp = jnp.pad(labp, pad_cols, constant_values=UNCOLOURED)
+        changed = jnp.int32(0)
+        keys, labs = [], []
+        for i in range(b):  # B is small and static; sequential kernel calls
+            k2, l2, flags, _ = pr.relax_block(
+                v_pad[i],
+                keyp[i],
+                labp[i],
+                active,
+                tile=band_tile,
+                steps=k,
+                interpret=interpret,
+                pipelined=True,
+                ctr_cols=(k, k + w),
+            )
+            keys.append(k2[k : k + h, k : k + w])
+            labs.append(l2[k : k + h, k : k + w])
+            changed = changed | jnp.any(flags != 0).astype(jnp.int32)
+        glob = lax.psum(changed, control_axes) > 0
+        return (jnp.stack(keys), jnp.stack(labs)), glob
+
+    (key, lab), _ = lax.while_loop(
+        lambda s: s[1], body, ((key0, lab0), jnp.bool_(True))
+    )
+    L = jnp.where(
+        key == unclaimed,
+        jnp.int32(_BIG_L),
+        jax.lax.shift_right_logical(key, pr._D_BITS),
+    )
+    labels = jnp.where(L <= max_water_level, lab, UNCOLOURED)
+    return _relax_collect_tail(
+        labels,
+        L,
+        global_shape=global_shape,
+        n_labels=n_labels,
+        max_water_level=max_water_level,
+        merging=merging,
+        collect=collect,
+        axis_y=axis_y,
+        axis_x=axis_x,
+        control_axes=control_axes,
+    )
 
 
 def _local_level_driver(
@@ -373,10 +521,12 @@ def tiled_transform(
     labels, plus (levels, B, K+1) lake sizes when ``collect='sizes'`` or
     (levels, B, H, W) snapshots when ``collect='history'``.
 
-    ``backend``: 'relax' | 'sweep' | 'auto'.  'auto' uses the tiled
-    relaxation engine wherever it applies (segmenting always; merging final
-    labels) and the per-level sweep loop for merging statistics.  Both are
-    bit-identical to the single-device drivers.
+    ``backend``: 'relax_pallas' | 'relax' | 'sweep' | 'auto'.  'auto' uses a
+    tiled relaxation engine wherever it applies (segmenting always; merging
+    final labels) — the Pallas packed-key engine on TPU meshes when the tile
+    geometry allows it, the jnp engine otherwise — and the per-level sweep
+    loop for merging statistics.  All are bit-identical to the single-device
+    drivers.
     """
     img = jnp.asarray(img)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
@@ -389,10 +539,36 @@ def tiled_transform(
     nx = mesh.shape[axis_x]
     if gh % ny or gw % nx:
         raise ValueError(f"image {gh}x{gw} not divisible by mesh {ny}x{nx}")
+    h_local, w_local = gh // ny, gw // nx
 
+    on_tpu = next(iter(mesh.devices.flat)).platform == "tpu"
     if backend == "auto":
-        backend = "relax" if (not merging or collect == "none") else "sweep"
-    driver = _local_relax_driver if backend == "relax" else _local_level_driver
+        if not merging or collect == "none":
+            k8 = _round_up8(halo)
+            backend = (
+                "relax_pallas"
+                if on_tpu and _pick_band_tile(h_local, w_local, k8)
+                else "relax"
+            )
+        else:
+            backend = "sweep"
+
+    extra = {}
+    if backend == "relax_pallas":
+        halo = _round_up8(halo)  # kernel DMA slices: steps multiple of 8
+        band_tile = _pick_band_tile(h_local, w_local, halo)
+        if band_tile is None or halo > w_local:
+            raise ValueError(
+                f"tiled relax_pallas needs a band tile t | {h_local} with "
+                f"8 <= {halo} <= t and halo <= tile width {w_local}; use "
+                "backend='relax' for this geometry"
+            )
+        driver = _local_relax_pallas_driver
+        extra = {"band_tile": band_tile, "interpret": not on_tpu}
+    elif backend == "relax":
+        driver = _local_relax_driver
+    else:
+        driver = _local_level_driver
 
     spec = P(axis_batch, axis_y, axis_x)
     local = partial(
@@ -406,6 +582,7 @@ def tiled_transform(
         axis_y=axis_y,
         axis_x=axis_x,
         control_axes=tuple(mesh.axis_names),
+        **extra,
     )
     if collect == "none":
         out_specs = spec
@@ -429,6 +606,24 @@ def tiled_transform(
             return out[0]
         return out[0][0], out[1][:, 0]
     return out
+
+
+def _round_up8(k: int) -> int:
+    return max(8, -(-k // 8) * 8)
+
+
+def _pick_band_tile(h: int, w: int, k: int) -> int | None:
+    """Largest band height t with t | h, t multiple of 8, k <= t <= the VMEM
+    cap for this tile width (ops.pallas_relax.auto_tile); None if impossible."""
+    from ..ops.pallas_relax import auto_tile
+
+    cap = min(auto_tile(w, steps=k), h)
+    t = (cap // 8) * 8
+    while t >= max(k, 8):
+        if h % t == 0:
+            return t
+        t -= 8
+    return None
 
 
 def make_mesh(n_devices: int | None = None, axis_names=("y", "x")) -> Mesh:

@@ -229,6 +229,73 @@ def test_tiled_history_merging_sweep(rng):
     np.testing.assert_array_equal(np.asarray(hist), np.asarray(want_hist))
 
 
+@pytest.mark.parametrize("merging", [False, True])
+def test_tiled_relax_pallas_matches_single_device(rng, merging):
+    # The tiled Pallas packed-key engine (parallel/tiled.
+    # _local_relax_pallas_driver, interpret mode on the CPU mesh) must be
+    # bit-identical to the single-device driver.
+    img, labels0, k = _case(rng)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), labels0, n_labels=k,
+                   max_water_level=MAXLVL, merging=merging)
+    )
+    got = np.asarray(
+        tiled_transform(img, labels0, make_mesh(8), n_labels=k,
+                        max_water_level=MAXLVL, merging=merging, halo=8,
+                        backend="relax_pallas")
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiled_relax_pallas_sizes_history_and_batch(rng):
+    img, labels0, k = _case(rng)
+    want_lab, want_sz = run_levels(
+        jnp.asarray(img), labels0, n_labels=k, max_water_level=MAXLVL,
+        merging=False, collect="sizes",
+    )
+    lab, sz = tiled_transform(img, labels0, make_mesh(8), n_labels=k,
+                              max_water_level=MAXLVL, merging=False, halo=8,
+                              collect="sizes", backend="relax_pallas")
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(want_lab))
+    np.testing.assert_array_equal(np.asarray(sz), np.asarray(want_sz))
+
+    _, want_hist = run_levels(
+        jnp.asarray(img), labels0, n_labels=k, max_water_level=MAXLVL,
+        merging=False, collect="history",
+    )
+    mesh22 = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
+    _, hist = tiled_transform(img, labels0, mesh22, n_labels=k,
+                              max_water_level=MAXLVL, merging=False, halo=8,
+                              collect="history", backend="relax_pallas")
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(want_hist))
+
+    # batch(dp) x spatial mesh, per-batch sequential kernel calls
+    imgs = rng.integers(0, MAXLVL + 2, size=(4, 16, 16)).astype(np.uint8)
+    seeds = [(3, 3), (12, 12), (8, 4)]
+    lab0 = np.stack([np.asarray(paint_seeds((16, 16), seeds))] * 4)
+    bmesh = Mesh(np.asarray(jax.devices()).reshape(2, 2, 2), ("batch", "y", "x"))
+    got = np.asarray(
+        tiled_transform(imgs, lab0, bmesh, n_labels=3, max_water_level=MAXLVL,
+                        merging=True, halo=8, axis_batch="batch",
+                        backend="relax_pallas")
+    )
+    for i in range(4):
+        want = np.asarray(
+            run_levels(jnp.asarray(imgs[i]), jnp.asarray(lab0[i]), n_labels=3,
+                       max_water_level=MAXLVL, merging=True)
+        )
+        np.testing.assert_array_equal(got[i], want, err_msg=f"batch {i}")
+
+
+def test_tiled_relax_pallas_geometry_raises(rng):
+    # 2x4 mesh on 16-wide image -> 4-px tiles: too narrow for an 8-px halo.
+    img = rng.integers(0, 5, size=(16, 16)).astype(np.uint8)
+    labels0 = paint_seeds((16, 16), [(3, 3), (12, 12)])
+    with pytest.raises(ValueError, match="relax_pallas"):
+        tiled_transform(img, labels0, make_mesh(8), n_labels=2,
+                        max_water_level=3, backend="relax_pallas")
+
+
 def test_transform_batch_merging_border_seeds(rng):
     # Regression (r2 review): on the stacked batch plane an inner image's
     # rows 0/H-1 are not global-border rows, so the component scan would
