@@ -58,7 +58,11 @@ def main():
     merging = os.environ.get("BENCH_MERGING", "0") == "1"
     backend = os.environ.get("BENCH_BACKEND", "relax_pallas")
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    inner = int(os.environ.get("BENCH_INNER", "8"))
+    # Default inner count scales with the per-transform time so the one
+    # ~26 ms tunnel dispatch per outer call stays amortised at every size
+    # (at 1024² a transform is ~2.5 ms; inner=8 would under-report by ~2x).
+    inner_default = max(8, min(128, 8 * (4096 // size) ** 2))
+    inner = int(os.environ.get("BENCH_INNER", str(inner_default)))
     tile_env = os.environ.get("BENCH_TILE")
     tile = int(tile_env) if tile_env else None
     steps = int(os.environ.get("BENCH_STEPS", "16"))

@@ -151,9 +151,16 @@ def run_levels_impl(
         None picks the backend's tuned default (flood 64/8, relax 256/16).
 
     Returns final labels, or (final labels, collected stack).
+
+    ``labels0=None`` (relax_pallas only) means "seeds from the image": the
+    fused pack kernel derives the seed mask + numbering in-kernel.
     """
     img = jnp.asarray(img).astype(jnp.int32)
-    labels0 = jnp.asarray(labels0, dtype=jnp.int32)
+    if labels0 is None:
+        if backend != "relax_pallas":
+            raise ValueError("labels0=None requires backend='relax_pallas'")
+    else:
+        labels0 = jnp.asarray(labels0, dtype=jnp.int32)
     levels = max_water_level + 1
 
     if backend in ("relax", "relax_pallas"):

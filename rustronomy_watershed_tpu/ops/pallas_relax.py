@@ -463,12 +463,25 @@ def relax_transform_pallas(
 ):
     """Full segmenting transform; bit-identical to ops.priority.relax_transform
     (and hence to the level-sweep drivers).  Returns (labels, claim_levels).
-    ``tile=None`` picks the widest band that fits VMEM (auto_tile)."""
+    ``tile=None`` picks the widest band that fits VMEM (auto_tile).
+
+    ``labels0=None`` means "seeds from the image" (reference find_local_minima
+    semantics): the fused pack kernel (ops.pallas_pack) computes the seed mask,
+    row-major numbering, and the packed planes in ONE banded HBM pass instead
+    of the jnp seed pipeline + pack_domain's three full-plane update-slices.
+    """
     img = jnp.asarray(img)
     h, w = img.shape
     if tile is None:
         tile = auto_tile(w, steps)
-    v_pad, key_pad, lab_pad = pack_domain(img, labels0, tile, steps)
+    if labels0 is None:
+        from .pallas_pack import pack_domain_fused
+
+        v_pad, key_pad, lab_pad, _ = pack_domain_fused(
+            img, tile, steps, interpret=interpret
+        )
+    else:
+        v_pad, key_pad, lab_pad = pack_domain(img, labels0, tile, steps)
     key, lab = relax_fixed_point(
         v_pad, key_pad, lab_pad, tile=tile, steps=steps, interpret=interpret
     )

@@ -43,8 +43,14 @@ def watershed_e2e_impl(
     """Seeds from the image itself (reference find_local_minima semantics),
     then the full level sweep.  Returns what run_levels returns."""
     img = jnp.asarray(img)
-    mask = local_extrema_mask(img)
-    labels0 = seed_labels_from_mask(mask)
+    if backend == "relax_pallas":
+        # Fused path: the pack kernel (ops.pallas_pack) computes the seed
+        # mask, row-major numbering, and the packed relax planes in one
+        # banded HBM pass — bit-identical to the jnp pipeline below.
+        labels0 = None
+    else:
+        mask = local_extrema_mask(img)
+        labels0 = seed_labels_from_mask(mask)
     if n_labels is None:
         n_labels = max_seed_count(img.shape[-2:])
     return run_levels_impl(

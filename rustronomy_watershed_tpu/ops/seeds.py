@@ -69,9 +69,18 @@ def _row_prefix_incl(x: jnp.ndarray) -> jnp.ndarray:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, wp - w)]
         x = jnp.pad(x, pad)
     xb = x.reshape(x.shape[:-1] + (wp // _PB, _PB)).astype(jnp.float32)
-    local = jnp.dot(xb, _tri_incl(), preferred_element_type=jnp.float32).astype(
-        jnp.int32
-    )
+    # Precision.HIGHEST is load-bearing: TPU's DEFAULT matmul precision
+    # truncates f32 inputs to bf16, which is integer-exact only to 256 — the
+    # row-totals stage feeds values far beyond that (up to the image width),
+    # and the truncation silently corrupted seed numbering at >= 2048^2 on
+    # real TPU (caught by the fused Pallas pack kernel, ops/pallas_pack.py).
+    # {0,1} mask inputs would be exact at any precision; row totals are not.
+    local = jnp.dot(
+        xb,
+        _tri_incl(),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
     block_tot = local[..., -1]
     block_off = jnp.cumsum(block_tot, axis=-1) - block_tot  # exclusive, int32
     out = (local + block_off[..., None]).reshape(x.shape[:-1] + (wp,))

@@ -121,6 +121,56 @@ def test_pallas_sweep_fn_dropin(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize(
+    "shape,tile,steps",
+    [((64, 64), 64, 16), ((100, 75), 256, 16), ((256, 300), 64, 8), ((41, 17), 8, 8)],
+)
+def test_fused_pack_matches_jnp_pipeline(rng, shape, tile, steps):
+    # The fused pack kernel (ops.pallas_pack) must reproduce
+    # pack_domain(img, seed_labels_from_mask(local_extrema_mask(img)))
+    # bit-exactly, including the row-major seed numbering (this kernel is the
+    # independent check that caught the TPU bf16-truncation numbering bug in
+    # the jnp MXU prefix — see ops/seeds.py).
+    from rustronomy_watershed_tpu.ops.pallas_pack import pack_domain_fused
+    from rustronomy_watershed_tpu.ops.pallas_relax import pack_domain
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    img = rng.integers(0, 255, size=shape).astype(np.uint8)
+    lab0 = seed_labels_from_mask(local_extrema_mask(jnp.asarray(img)))
+    v0, k0, l0 = pack_domain(img, lab0, tile, steps)
+    v1, k1, l1, n = pack_domain_fused(img, tile, steps, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k0))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    assert int(n) == int(np.asarray(lab0).max())
+
+
+def test_e2e_fused_pack_matches_jnp_e2e(rng):
+    # watershed_e2e_impl(backend='relax_pallas') routes through the fused
+    # pack (labels0=None) — must match the jnp-backend e2e bit-exactly.
+    from functools import partial
+
+    import jax
+
+    from rustronomy_watershed_tpu.ops.pipeline import watershed_e2e_impl
+
+    img = rng.integers(0, 60, size=(48, 56)).astype(np.uint8)
+    f = lambda backend: np.asarray(
+        jax.jit(
+            partial(
+                watershed_e2e_impl,
+                max_water_level=59,
+                backend=backend,
+                interpret=True,
+            )
+        )(jnp.asarray(img))
+    )
+    np.testing.assert_array_equal(f("relax_pallas"), f("jnp"))
+
+
 def test_pipelined_dense_kernel_matches_sparse(rng):
     h, w = 40, 52
     img = rng.integers(0, 20, size=(h, w)).astype(np.uint8)
