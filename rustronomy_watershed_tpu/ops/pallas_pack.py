@@ -31,9 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import INT32_MAX, NEVER_FILL
-
-_UNCLAIMED = INT32_MAX
+from ..constants import NEVER_FILL
+from .pallas_relax import _UNCLAIMED
 _HALO = 8  # mask needs 1 row; 8 keeps sublane DMA slices aligned
 
 

@@ -9,12 +9,17 @@ Representation: the lexicographic key (L, d) packs into ONE int32,
 
 * L in 0..254 for claimed pixels (claims at L > NORMAL_MAX are rejected —
   the reference never floods at 255 — so the packed key never overflows),
-* unclaimed sentinel = INT32_MAX (= 255 << 23 | (2^23-1)),
+* unclaimed sentinel = 255 << 23 (level 255, d = 0).  This exact choice
+  makes the whole candidate update branch-free: the lexicographic extend
+  ``(max(v, L), d+1-or-1)`` is ``max(kq + 1, vcand)`` (see one_sweep),
+  and the sentinel + 1 = (255<<23)|1 still carries level 255, so
+  unclaimed neighbours can never donate a claim and nothing overflows,
 * seeds = 0 (L=0, d=0): every candidate key is >= (0<<23|1) = 1, so seeds
   are immutable with no special-casing,
-* d saturates at 2^23-1 (8.4M): ring order inside a single plateau deeper
-  than 8.4M pixels would tie — physically impossible for real images (the
-  exact-unpacked jnp engine remains available for adversarial inputs).
+* d at the fixed point is the plateau BFS ring index — bounded by the
+  image DIAMETER (h+w), never the plateau size, so the 23-bit d field
+  cannot overflow for any image smaller than ~4M pixels on a side (the
+  exact-unpacked jnp engine remains available beyond that).
 
 Bands follow the flood kernel's layout (full-width rows, P-row halo,
 wrap-rolls with ghost corruption confined to the discarded halo) plus the
@@ -65,7 +70,7 @@ def auto_tile(width: int, steps: int = DEFAULT_STEPS) -> int:
 
 _D_BITS = 23
 _D_MAX = (1 << _D_BITS) - 1
-_UNCLAIMED = INT32_MAX
+_UNCLAIMED = NEVER_FILL << _D_BITS  # (255, d=0) — see module docstring
 _BIG_LAB = jnp.int32(2**30)
 
 
@@ -73,9 +78,9 @@ def pack_domain(img, labels0, tile: int = DEFAULT_TILE, steps: int = DEFAULT_STE
     """(v_pad int8-biased, key_pad int32, lab_pad int32) padded planes.
 
     Real 1-px border forced to NEVER_FILL (window-centre rule); aprons are
-    NEVER_FILL / unclaimed / 0 — apron restarts are rejected by the vcand
-    pre-clamp (v > NORMAL_MAX) and extends saturate at d == dmax, so aprons
-    never claim and never propagate.
+    NEVER_FILL / unclaimed / 0 — apron restarts are rejected by vcand's
+    min-clamp and an unclaimed key's extend still carries level 255, so
+    aprons never claim and never propagate (see the kernel comment).
     """
     img = jnp.asarray(img).astype(jnp.int32)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
@@ -178,27 +183,23 @@ def _relax_kernel(
             dma.start()
 
     def compute_and_write():
-        # All candidate math runs on PACKED keys — no unpack/repack shifts:
-        #   extend(kq) for a neighbour with level(kq) >= v is
-        #     (same L, d+1 saturated) == (kq if d == dmax else kq + 1),
-        #   else the path restarts at this pixel's level: (v << 23) | 1,
-        #     pre-clamped per PIXEL (not per direction per sweep) to
-        #     UNCLAIMED where v > NORMAL_MAX (vcand).
-        # No other clamp is needed: restarts at v >= 255 are rejected by
-        # vcand and extends preserve the neighbour's level, so a key above
-        # NORMAL_MAX can never be created — aprons / NEVER_FILL pixels stay
-        # UNCLAIMED (their d == dmax saturates ext) and never propagate.
+        # All candidate math runs on PACKED keys, branch-free:
+        #   cand(q) = max(kq + 1, vcand)  with vcand = min(vkey + 1, UNCLAIMED)
+        # is EXACTLY the lexicographic extend-or-restart:
+        #   kq >= vkey (neighbour level >= v)  =>  kq+1 >= vkey+1 = vcand,
+        #     so max picks kq+1 = (L(q), d(q)+1)      — extend;
+        #   kq <  vkey                        =>  kq+1 <= vkey < vcand,
+        #     so max picks vcand = (v, 1)             — restart.
+        # Unclaimed neighbours (kq = 255<<23) give cand = (255<<23)+1, which
+        # can never beat any pixel's current key (<= 255<<23) — so aprons /
+        # NEVER_FILL pixels never donate; restarts at v >= 255 are rejected
+        # by vcand's min-clamp; nothing overflows (max key + 1 < 2^31).
         vkey = jax.lax.shift_left(v2[slot].astype(jnp.int32) + 128, _D_BITS)
-        vcand = jnp.where(
-            vkey > jnp.int32(NORMAL_MAX << _D_BITS),
-            jnp.int32(_UNCLAIMED),
-            jax.lax.bitwise_or(vkey, jnp.int32(1)),
-        )
+        vcand = jnp.minimum(vkey + 1, jnp.int32(_UNCLAIMED))
         key0 = key2[slot]
         lab0 = lab2[slot]
         wp = key0.shape[1]
         biglab = jnp.int32(2**30)
-        dmax = jnp.int32(_D_MAX)
 
         # Centre-column mask for CHANGE DETECTION only (tiled/shard_map use:
         # halo and lane-padding columns evolve every call — their state is
@@ -223,10 +224,7 @@ def _relax_kernel(
             lq4 = rolls(lab)
             best = key
             for kq in kq4:
-                sat = jax.lax.bitwise_and(kq, dmax) == dmax
-                ext = jnp.where(sat, kq, kq + 1)
-                cand = jnp.where(kq >= vkey, ext, vcand)
-                best = jnp.minimum(best, cand)
+                best = jnp.minimum(best, jnp.maximum(kq + 1, vcand))
             labmin = jnp.full_like(lab, biglab)
             for kq, lq in zip(kq4, lq4):
                 labmin = jnp.minimum(labmin, jnp.where(kq < best, lq, biglab))

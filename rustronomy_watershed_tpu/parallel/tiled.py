@@ -337,7 +337,7 @@ def _local_relax_pallas_driver(
     v_pad = (v_pad - 128).astype(jnp.int8)
 
     lab0 = lab_tile.astype(jnp.int32)
-    unclaimed = jnp.int32(INT32_MAX)
+    unclaimed = jnp.int32(pr._UNCLAIMED)
     key0 = jnp.where(lab0 != UNCOLOURED, jnp.int32(0), unclaimed)
     gy = h // band_tile
     active = jnp.ones((gy,), jnp.int32)
@@ -345,9 +345,9 @@ def _local_relax_pallas_driver(
 
     def body(state):
         (key, lab), _ = state
-        keyp = exchange_halo(key, k, axis_y, axis_x, off_grid_fill=INT32_MAX)
+        keyp = exchange_halo(key, k, axis_y, axis_x, off_grid_fill=pr._UNCLAIMED)
         labp = exchange_halo(lab, k, axis_y, axis_x, off_grid_fill=UNCOLOURED)
-        keyp = jnp.pad(keyp, pad_cols, constant_values=INT32_MAX)
+        keyp = jnp.pad(keyp, pad_cols, constant_values=pr._UNCLAIMED)
         labp = jnp.pad(labp, pad_cols, constant_values=UNCOLOURED)
         changed = jnp.int32(0)
         keys, labs = [], []
