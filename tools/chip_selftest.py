@@ -1,0 +1,148 @@
+"""On-chip parity battery: run the TPU engines on REAL hardware against
+host-side oracles that never touch XLA.
+
+Motivation (round 3): a TPU-only numerical hazard (DEFAULT matmul precision
+truncating f32 inputs to bf16) silently corrupted seed numbering at >= 2048²
+while every CPU test stayed green — CPU CI cannot certify what the chip
+computes.  This script is the hardware counterpart of tests/: it compares
+
+  1. jnp seed numbering (`seed_labels_from_mask`) vs host NumPy cumsum,
+  2. the fused pack kernel (mask + numbering + packed planes) vs host NumPy,
+  3. relax_pallas end-to-end labels vs the C++ oracle (parity/oracle.cc —
+     exact reference semantics, no JAX/XLA involved) at full 254 levels,
+     both variants (segmenting + merging),
+  4. relax_pallas lake-size curves vs the C++ oracle's,
+
+on the ambient (TPU) platform.  Exit code 0 == all checks passed.
+
+Usage: ``python tools/chip_selftest.py [--size 2048] [--oracle-size 1024]``
+(the oracle comparison is CPU-bound host work; 1024² keeps it ~a minute).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def check(name, cond, detail=""):
+    status = "ok " if cond else "FAIL"
+    print(f"[{status}] {name}{(' — ' + detail) if detail else ''}")
+    return bool(cond)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=2048)
+    ap.add_argument("--oracle-size", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from rustronomy_watershed_tpu.ops.pallas_pack import pack_domain_fused
+    from rustronomy_watershed_tpu.ops.pallas_relax import (
+        _D_BITS,
+        _UNCLAIMED,
+        auto_tile,
+        pack_domain,
+    )
+    from rustronomy_watershed_tpu.ops.pipeline import watershed_e2e_impl
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+    from rustronomy_watershed_tpu.parity.native import (
+        native_find_local_minima,
+        native_transform,
+    )
+
+    print(f"platform: {jax.devices()[0].platform} ({jax.devices()[0]})")
+    rng = np.random.default_rng(args.seed)
+    ok = True
+
+    # --- 1+2: numbering and fused pack vs host NumPy at --size ---
+    size = args.size
+    img_np = rng.integers(0, 255, size=(size, size)).astype(np.uint8)
+    img = jax.device_put(jnp.asarray(img_np))
+    mask = np.asarray(local_extrema_mask(img))
+    truth = np.where(
+        mask, np.cumsum(mask.astype(np.int64)).reshape(mask.shape), 0
+    ).astype(np.int32)
+    got = np.asarray(seed_labels_from_mask(jnp.asarray(mask)))
+    ok &= check(
+        f"jnp seed numbering vs host NumPy @ {size}²",
+        (got == truth).all(),
+        f"{(got != truth).sum()} diffs",
+    )
+
+    tile = auto_tile(size)
+    v0, k0, l0 = jax.jit(partial(pack_domain, tile=tile, steps=16))(img, truth)
+    v1, k1, l1, n = jax.jit(partial(pack_domain_fused, tile=tile, steps=16))(img)
+    ok &= check(
+        f"fused pack kernel vs jnp pack @ {size}²",
+        all(
+            (np.asarray(a) == np.asarray(b)).all()
+            for a, b in ((v0, v1), (k0, k1), (l0, l1))
+        )
+        and int(n) == truth.max(),
+        f"seeds={int(n)}",
+    )
+
+    # --- 3+4: e2e vs the C++ oracle (no XLA) at --oracle-size, 254 levels ---
+    osz = args.oracle_size
+    img_np = rng.integers(0, 254, size=(osz, osz)).astype(np.uint8)
+    img = jax.device_put(jnp.asarray(img_np))
+    seeds = native_find_local_minima(img_np)
+    for merging in (False, True):
+        t0 = time.time()
+        want = native_transform(img_np, seeds, 254, merging=merging)
+        t_or = time.time() - t0
+        got = np.asarray(
+            jax.jit(
+                partial(
+                    watershed_e2e_impl,
+                    max_water_level=254,
+                    merging=merging,
+                    backend="relax_pallas",
+                )
+            )(img)
+        )
+        name = "merging" if merging else "segmenting"
+        ok &= check(
+            f"relax_pallas {name} vs C++ oracle @ {osz}²/254 lvls",
+            (got == want).all(),
+            f"{(got != want).sum()} diffs, oracle {t_or:.1f}s",
+        )
+
+    # sizes curve (segmenting collect='sizes' vs oracle with_sizes)
+    _, want_sz = native_transform(img_np, seeds, 254, merging=False, with_sizes=True)
+    _, got_sz = jax.jit(
+        partial(
+            watershed_e2e_impl,
+            max_water_level=254,
+            merging=False,
+            backend="relax_pallas",
+            collect="sizes",
+            n_labels=len(seeds),
+        )
+    )(img)
+    got_sz = np.asarray(got_sz)
+    ok &= check(
+        f"relax_pallas lake-size curves vs C++ oracle @ {osz}²",
+        (got_sz == want_sz).all(),
+        f"{(got_sz != want_sz).sum()} diffs",
+    )
+
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
