@@ -12,13 +12,18 @@ computed with **segmented min-scans** instead of per-label union tables
 (whose multi-million-entry scatter/gathers cost 170-400 ms at 4096² on TPU):
 
 * a vertical pass replaces every maximal claimed run of each column by the
-  run's min (one forward + one backward sweep, sequential in VMEM);
-* a horizontal pass does the same along rows (transpose -> vertical pass ->
-  transpose);
+  run's min, via inclusive segmented min scans by operator DOUBLING
+  (log2(H) sublane roll+select steps — cheap vector ops);
+* a horizontal pass does the same along rows with LANE doubling — no
+  transposes anywhere;
 * alternate until a fixed point.  Each pass moves label information across
   an entire run — convergence takes O(staircase complexity of the
-  components) passes (measured: 3-5 on dense random fields), not
+  components) passes (measured: 2-3 on dense random fields), not
   O(component diameter) stencil sweeps.
+
+One round = TWO banded kernel passes (fwd-vertical; then, in reversed band
+order, bwd-vertical + both horizontal scans + border restores + an exact
+in-kernel convergence flag), each moving every plane byte through VMEM once.
 
 Edge rule: the reference only detects merge pairs through 3x3 windows
 centred on interior pixels, so an adjacent pair of two *border* pixels never
@@ -40,52 +45,222 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 512  # columns per grid step of the vertical scan kernel
+_INF = 2**30
 
 
-def _vscan_kernel(lab_in, lab_out, *, h):
-    """Per-column segmented min over claimed runs (fwd + bwd row sweep)."""
-    lab_out[:] = lab_in[:]
+def _seg_min_scan(v, b, axis, size, reverse, idx):
+    """Inclusive segmented min scan by operator doubling.
 
-    def fwd(i, _):
-        prev = lab_out[pl.ds(i - 1, 1), :]
-        cur = lab_out[pl.ds(i, 1), :]
-        new = jnp.where(
-            cur == 0,
-            0,
-            jnp.where(prev > 0, jnp.minimum(cur, prev), cur),
+    ``v``: value plane; ``b``: reset-flag plane as int32 {0,1} (Mosaic can
+    only rotate 32-bit vectors); ``idx``: iota along ``axis``.
+    combine(cur, prev) = (cur.b ? cur.v : min(cur.v, prev.v), cur.b | prev.b)
+    applied with strides 1, 2, 4, ... — log2(size) roll+select steps, all
+    cheap vector ops (sublane rolls for the vertical pass, lane rolls for
+    the horizontal one — no transposes).
+    """
+    inf = jnp.int32(_INF)
+    s = 1
+    while s < size:
+        if reverse:
+            pv = pltpu.roll(v, size - s, axis)
+            pb = pltpu.roll(b, size - s, axis)
+            take = idx < size - s
+        else:
+            pv = pltpu.roll(v, s, axis)
+            pb = pltpu.roll(b, s, axis)
+            take = idx >= s
+        pv = jnp.where(take, pv, inf)
+        pb = jnp.where(take, pb, 0)
+        v = jnp.where(b != 0, v, jnp.minimum(v, pv))
+        b = b | pb
+        s *= 2
+    return v, b
+
+
+def _fwd_v_kernel(
+    lab_hbm, y_out, chg_ref, win, yst, carry, sems, *, tile, real_w
+):
+    """Pass 1 of a round: forward vertical segmented-min scan, banded, with a
+    cross-band carry row; border columns (0, real_w-1) pass through unchanged
+    (the reference never merges border-border vertical edges there)."""
+    i = pl.program_id(0)
+    gy = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = 1 - slot
+    wp = win.shape[-1]
+    inf = jnp.int32(_INF)
+
+    def dma_in(s, band):
+        return pltpu.make_async_copy(
+            lab_hbm.at[pl.ds(band * tile, tile), :], win.at[s], sems.at[s, 0]
         )
-        lab_out[pl.ds(i, 1), :] = new
-        return 0
 
-    jax.lax.fori_loop(1, h, fwd, 0)
+    @pl.when(i == 0)
+    def _():
+        chg_ref[0, 0] = 0
+        carry[...] = jnp.full_like(carry, inf)
+        dma_in(slot, 0).start()
 
-    def bwd(k, _):
-        i = h - 2 - k
-        nxt = lab_out[pl.ds(i + 1, 1), :]
-        cur = lab_out[pl.ds(i, 1), :]
-        new = jnp.where(
-            cur == 0,
-            0,
-            jnp.where(nxt > 0, jnp.minimum(cur, nxt), cur),
+    @pl.when(i + 1 < gy)
+    def _():
+        dma_in(nslot, i + 1).start()
+
+    dma_in(slot, i).wait()
+
+    x = win[slot]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+    reset = x == 0
+    v, b = _seg_min_scan(
+        jnp.where(reset, inf, x), reset.astype(jnp.int32), 0, tile, False, rr
+    )
+    # Fold the inter-band carry into rows whose segment started above the band.
+    final = jnp.where(b != 0, v, jnp.minimum(v, carry[...]))
+    carry[...] = jnp.min(
+        jnp.where(rr == tile - 1, final, inf), axis=0, keepdims=True
+    )
+    y = jnp.where(reset, 0, final)
+    y = jnp.where((cc == 0) | (cc == real_w - 1), x, y)  # border columns
+    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], jnp.any(y != x).astype(jnp.int32))
+
+    yst[...] = y
+    co = pltpu.make_async_copy(
+        yst, y_out.at[pl.ds(i * tile, tile), :], sems.at[slot, 1]
+    )
+    co.start()
+    co.wait()
+
+
+def _bwd_vh_kernel(
+    y_hbm, out_hbm, chg_ref, win, ost, carry, sems, *, tile, real_h, real_w
+):
+    """Pass 2 of a round (reversed band order): backward vertical scan (the
+    run-min is bwd(fwd(x))), then BOTH horizontal scans in-band via lane
+    doubling, then the border-row restore — no transposes anywhere."""
+    j = pl.program_id(0)
+    gy = pl.num_programs(0)
+    i = gy - 1 - j  # bands bottom-up
+    slot = jax.lax.rem(j, 2)
+    nslot = 1 - slot
+    wp = win.shape[-1]
+    inf = jnp.int32(_INF)
+
+    def dma_in(s, band):
+        return pltpu.make_async_copy(
+            y_hbm.at[pl.ds(band * tile, tile), :], win.at[s], sems.at[s, 0]
         )
-        lab_out[pl.ds(i, 1), :] = new
-        return 0
 
-    jax.lax.fori_loop(0, h - 1, bwd, 0)
+    @pl.when(j == 0)
+    def _():
+        chg_ref[0, 0] = 0
+        carry[...] = jnp.full_like(carry, inf)
+        dma_in(slot, i).start()
+
+    @pl.when(j + 1 < gy)
+    def _():
+        dma_in(nslot, i - 1).start()
+
+    dma_in(slot, i).wait()
+
+    y = win[slot]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+    reset = y == 0
+    v, b = _seg_min_scan(
+        jnp.where(reset, inf, y), reset.astype(jnp.int32), 0, tile, True, rr
+    )
+    final = jnp.where(b != 0, v, jnp.minimum(v, carry[...]))
+    carry[...] = jnp.min(jnp.where(rr == 0, final, inf), axis=0, keepdims=True)
+    z = jnp.where(reset, 0, final)
+    z = jnp.where((cc == 0) | (cc == real_w - 1), y, z)  # border columns
+
+    # Horizontal run-min within the band (rows independent): bwd(fwd(z)).
+    zres = z == 0
+    zres_i = zres.astype(jnp.int32)
+    hv, _ = _seg_min_scan(jnp.where(zres, inf, z), zres_i, 1, wp, False, cc)
+    hv, _ = _seg_min_scan(hv, zres_i, 1, wp, True, cc)
+    out = jnp.where(zres, 0, hv)
+    # Border rows (0, real_h-1): horizontal border-border edges never merge.
+    grow = rr + i * tile
+    out = jnp.where((grow == 0) | (grow == real_h - 1), z, out)
+    chg_ref[0, 0] = jnp.maximum(
+        chg_ref[0, 0], jnp.any(out != y).astype(jnp.int32)
+    )
+
+    ost[...] = out
+    co = pltpu.make_async_copy(
+        ost, out_hbm.at[pl.ds(i * tile, tile), :], sems.at[slot, 1]
+    )
+    co.start()
+    co.wait()
 
 
-def _vscan_pallas(lab, *, interpret=False):
-    h, w = lab.shape
-    return pl.pallas_call(
-        partial(_vscan_kernel, h=h),
-        grid=(w // _CHUNK,),
-        in_specs=[pl.BlockSpec((h, _CHUNK), lambda j: (0, j))],
-        out_specs=pl.BlockSpec((h, _CHUNK), lambda j: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+def _round_tile(wp: int) -> int:
+    """Band height for the fused scan kernels at this padded width."""
+    t = (100_000_000 // (wp * 60)) // 8 * 8
+    return int(max(8, min(256, t)))
+
+
+def _call_round_kernel(kernel, src, *, tile, interpret, **kw):
+    """Invoke one banded scan pass; returns (plane, changed)."""
+    hp, wp = src.shape
+    gy = hp // tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(gy,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile, wp), jnp.int32),
+            pltpu.VMEM((tile, wp), jnp.int32),
+            pltpu.VMEM((1, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out, chg = pl.pallas_call(
+        partial(kernel, tile=tile, **kw),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(lab)
+    )(src)
+    return out, chg[0, 0] > 0
+
+
+def _component_min_pallas(labels, h, w, tile, interpret):
+    """Fixed point of the fused rounds (full v+h rounds; convergence on a
+    round in which neither pass changed anything.  NB a clean fwd-vertical
+    pass alone does NOT certify — fwd-clean != run-min-clean, e.g. a column
+    [5, 3] is fwd-stable but bwd lowers row 0)."""
+    wp = -(-w // 128) * 128
+    tile = tile or _round_tile(wp)
+    hp = -(-h // tile) * tile
+    if (hp, wp) != (h, w):
+        lab0 = jnp.zeros((hp, wp), dtype=jnp.int32)
+        lab0 = jax.lax.dynamic_update_slice(lab0, labels, (0, 0))
+    else:
+        lab0 = labels
+
+    def body(state):
+        lab, _ = state
+        y, c1 = _call_round_kernel(
+            _fwd_v_kernel, lab, tile=tile, interpret=interpret, real_w=w
+        )
+        out, c2 = _call_round_kernel(
+            _bwd_vh_kernel, y, tile=tile, interpret=interpret, real_h=h, real_w=w
+        )
+        return out, c1 | c2
+
+    out, _ = jax.lax.while_loop(lambda s: s[1], body, (lab0, jnp.bool_(True)))
+    return jax.lax.slice(out, (0, 0), (h, w))
 
 
 def _vscan_jnp(lab):
@@ -108,34 +283,27 @@ def _vscan_jnp(lab):
     return run_min(run_min(lab, False), True)
 
 
-def _pad_grid(lab):
-    """Zero-pad to (8k, 512k) for the kernel grid; zeros are barriers."""
-    h, w = lab.shape
-    h2 = -(-h // 8) * 8
-    w2 = -(-w // _CHUNK) * _CHUNK
-    if (h2, w2) == (h, w):
-        return lab, h, w
-    out = jnp.zeros((h2, w2), dtype=lab.dtype)
-    return jax.lax.dynamic_update_slice(out, lab, (0, 0)), h, w
-
-
-def component_min_labels(labels, *, use_pallas: bool = True, interpret: bool = False):
+def component_min_labels(
+    labels, *, use_pallas: bool = True, interpret: bool = False, tile: int | None = None
+):
     """Replace every 4-connected component of nonzero labels (blocked
     border-border edges excluded) by its minimum label.
 
     Bit-equivalent to iterating ops.merge.merge_touching to exhaustion; this
     is the merging variant's final-level output given segmenting labels.
+
+    ``use_pallas=True`` runs the fused-round kernels (two banded passes per
+    v+h round, no transposes, in-kernel convergence flags); ``False`` runs
+    the jnp associative-scan formulation (CPU fallback / readable oracle).
     """
     labels = jnp.asarray(labels, dtype=jnp.int32)
     h, w = labels.shape
 
+    if use_pallas:
+        return _component_min_pallas(labels, h, w, tile, interpret)
+
     def vscan(x):
-        if use_pallas:
-            xp, _, _ = _pad_grid(x)
-            out = _vscan_pallas(xp, interpret=interpret)
-            out = jax.lax.slice(out, (0, 0), (h, w))
-        else:
-            out = _vscan_jnp(x)
+        out = _vscan_jnp(x)
         # Blocked vertical edges: both endpoints in column 0 / W-1 are
         # border pixels.  The scan is per-column, so restoring the two
         # columns removes exactly those propagations.
@@ -148,12 +316,7 @@ def component_min_labels(labels, *, use_pallas: bool = True, interpret: bool = F
         return xt.T
 
     def vscan_t(xt):
-        if use_pallas:
-            xp, _, _ = _pad_grid(xt)
-            out = _vscan_pallas(xp, interpret=interpret)
-            out = jax.lax.slice(out, (0, 0), (w, h))
-        else:
-            out = _vscan_jnp(xt)
+        out = _vscan_jnp(xt)
         # Blocked horizontal edges: rows 0 / H-1 become columns here.
         out = jax.lax.dynamic_update_slice(out, xt[:, :1], (0, 0))
         out = jax.lax.dynamic_update_slice(out, xt[:, -1:], (0, h - 1))

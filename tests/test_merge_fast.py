@@ -53,19 +53,19 @@ def test_component_min_matches_level_sweep_merging(rng, shape, hi, maxlvl, use_p
     np.testing.assert_array_equal(got, want)
 
 
-def test_vscan_pallas_kernel_matches_jnp_scan(rng):
-    # Bare single interpret calls of the Pallas scan kernel (safe on CPU;
-    # the in-loop interpret path is routed to the jnp scan — see
-    # ops/scan_merge.py) against the associative-scan reference.
-    from rustronomy_watershed_tpu.ops.scan_merge import _vscan_jnp, _vscan_pallas
-
-    for h in (8, 32, 64):
+def test_fused_round_kernels_match_jnp(rng):
+    # The fused-round kernels (banded fwd-v then bwd-v+h, with cross-band
+    # carries) must match the jnp associative-scan path bit-exactly —
+    # forcing a small band height exercises the inter-band carry rows.
+    for h, w, tile in ((16, 128, 8), (64, 200, 16), (40, 384, 8)):
         lab = jnp.asarray(
-            np.where(rng.random((h, 512)) < 0.3, 0,
-                     rng.integers(1, 50, (h, 512))).astype(np.int32)
+            np.where(rng.random((h, w)) < 0.3, 0,
+                     rng.integers(1, 50, (h, w))).astype(np.int32)
         )
-        want = np.asarray(_vscan_jnp(lab))
-        got = np.asarray(_vscan_pallas(lab, interpret=True))
+        want = np.asarray(component_min_labels(lab, use_pallas=False))
+        got = np.asarray(
+            component_min_labels(lab, use_pallas=True, interpret=True, tile=tile)
+        )
         np.testing.assert_array_equal(got, want)
 
 
