@@ -52,6 +52,13 @@ class HookCtx:
     seeds: tuple[tuple[int, tuple[int, int]], ...]
 
 
+# Jitted per-shape (the eager composition costs one tunnel dispatch — and a
+# cold remote compile — per jnp op on the ambient TPU platform).
+_extrema_mask_jit = cache_resilient(
+    partial(jax.jit, static_argnames=("mode",))(local_extrema_mask)
+)
+
+
 def _label_bucket(n_seeds: int) -> int:
     """Static parent/histogram table size: next power of two >= n_seeds + 1.
 
@@ -80,8 +87,8 @@ class WatershedUtils:
         the name (src/lib.rs:1190, SURVEY.md Q1).  Pass ``mode='minima'`` for
         the documented intent.
         """
-        mask = np.asarray(local_extrema_mask(jnp.asarray(img), mode=mode))
-        return [tuple(c) for c in np.argwhere(mask)]
+        mask = np.asarray(_extrema_mask_jit(jnp.asarray(img), mode=mode))
+        return list(map(tuple, np.argwhere(mask).tolist()))
 
 
 class _WatershedBase(WatershedUtils):

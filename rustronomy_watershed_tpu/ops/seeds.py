@@ -107,11 +107,19 @@ def paint_seeds(shape: tuple[int, int], seeds) -> jnp.ndarray:
 
     ``seeds`` is a sequence of (y, x); colours are 1..len(seeds) in list order
     (src/lib.rs:1358-1369).  Later seeds overwrite earlier ones at duplicate
-    coordinates, like the reference's sequential paint loop.
+    coordinates, like the reference's sequential paint loop (vectorised with
+    an explicit keep-last dedup — a Python loop over a 4096² field's ~1.8M
+    seeds costs minutes).
     """
     import numpy as np
 
     labels = np.zeros(shape, dtype=np.int32)
-    for col, (y, x) in enumerate(seeds, start=1):
-        labels[y, x] = col
+    coords = np.asarray(list(seeds), dtype=np.int64).reshape(-1, 2)
+    if coords.shape[0]:
+        flat = coords[:, 0] * shape[1] + coords[:, 1]
+        # Last occurrence of each coordinate wins, like the sequential loop.
+        rev_first = np.unique(flat[::-1], return_index=True)[1]
+        keep = flat.shape[0] - 1 - rev_first
+        cols = np.arange(1, flat.shape[0] + 1, dtype=np.int32)
+        labels.reshape(-1)[flat[keep]] = cols[keep]
     return jnp.asarray(labels)

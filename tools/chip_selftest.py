@@ -121,6 +121,26 @@ def main():
             f"{(got != want).sum()} diffs, oracle {t_or:.1f}s",
         )
 
+    # merging transform_to_list through the public API (the merge_curve
+    # fast path: device edge extraction + host Kruskal) vs the oracle's
+    # per-level merged histograms.
+    from rustronomy_watershed_tpu import TransformBuilder
+
+    msz = 512
+    mimg = rng.integers(0, 254, size=(msz, msz)).astype(np.uint8)
+    ws = TransformBuilder.default().build_merging()
+    mseeds = ws.find_local_minima(mimg)
+    _, want_msz = native_transform(
+        mimg, mseeds, 254, merging=True, with_sizes=True
+    )
+    curve = ws.transform_to_list(mimg, mseeds, counts_length=len(mseeds) + 1)
+    got_msz = np.stack([np.asarray(c[1]) for c in curve])
+    ok &= check(
+        f"merging transform_to_list (merge_curve) vs C++ oracle @ {msz}²",
+        (got_msz == want_msz).all(),
+        f"{(got_msz != want_msz).sum()} diffs",
+    )
+
     # sizes curve (segmenting collect='sizes' vs oracle with_sizes)
     _, want_sz = native_transform(img_np, seeds, 254, merging=False, with_sizes=True)
     _, got_sz = jax.jit(
