@@ -148,32 +148,31 @@ def merged_sizes_host(
     parent = np.arange(k1, dtype=np.int64)
     order = np.argsort(act, kind="stable")
     lo, hi, act = lo[order], hi[order], act[order]
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return int(x)
+    starts = np.searchsorted(act, np.arange(levels + 1))
 
     out = np.zeros_like(cum)
-    i = 0
-    n_edges = len(act)
     for lvl in range(levels):
-        while i < n_edges and act[i] == lvl:
-            ra, rb = find(int(lo[i])), find(int(hi[i]))
-            if ra != rb:
-                r = min(ra, rb)
-                parent[ra] = parent[rb] = r
-            i += 1
-        # Vectorised full compression, then redistribute this level's counts.
-        rep = parent
-        while True:
-            rep2 = rep[rep]
-            if np.array_equal(rep2, rep):
-                break
-            rep = rep2
-        parent = rep.copy()
-        out[lvl] = np.bincount(rep, weights=cum[lvl], minlength=k1).astype(cum.dtype)
+        el, eh = lo[starts[lvl] : starts[lvl + 1]], hi[starts[lvl] : starts[lvl + 1]]
+        if el.size:
+            # Batched union: scatter-min the edge endpoints' representatives
+            # into parent, pointer-jump to full compression, repeat until the
+            # level's subgraph is merged (few iterations — path lengths are
+            # short after the previous level's compression).
+            while True:
+                ra, rb = parent[el], parent[eh]
+                m = np.minimum(ra, rb)
+                np.minimum.at(parent, ra, m)
+                np.minimum.at(parent, rb, m)
+                while True:
+                    p2 = parent[parent]
+                    if np.array_equal(p2, parent):
+                        break
+                    parent = p2
+                if (parent[el] == parent[eh]).all():
+                    break
+        out[lvl] = np.bincount(
+            parent, weights=cum[lvl], minlength=k1
+        ).astype(cum.dtype)
     return out
 
 

@@ -242,6 +242,19 @@ def test_paint_seeds_matches_mask_labels():
     assert np.array_equal(a, b)
 
 
+def test_paint_seeds_duplicate_coordinates_last_wins():
+    # The reference's sequential paint loop overwrites at duplicates
+    # (src/lib.rs:1358-1369); the vectorised keep-last dedup must agree.
+    seeds = [(1, 1), (2, 2), (1, 1), (3, 3), (2, 2)]
+    lab = np.asarray(paint_seeds((5, 5), seeds))
+    assert lab[1, 1] == 3  # third seed overwrote the first
+    assert lab[2, 2] == 5  # fifth overwrote the second
+    assert lab[3, 3] == 4
+    assert (lab > 0).sum() == 3
+    # Empty seed list
+    assert np.asarray(paint_seeds((4, 4), [])).sum() == 0
+
+
 def test_pre_processor_special_values():
     # Q4 — code behaviour, not docs: +inf -> 0 (ALWAYS_FILL); NaN, -inf,
     # exact zero and subnormals -> 255 (NEVER_FILL).
