@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import INT32_MAX, NEVER_FILL, NORMAL_MAX, UNCOLOURED
+from ..constants import NEVER_FILL, UNCOLOURED
 
 DEFAULT_TILE = 256
 DEFAULT_STEPS = 16
@@ -69,7 +69,6 @@ def auto_tile(width: int, steps: int = DEFAULT_STEPS) -> int:
     return int(max(8, min(DEFAULT_TILE, tile)))
 
 _D_BITS = 23
-_D_MAX = (1 << _D_BITS) - 1
 _UNCLAIMED = NEVER_FILL << _D_BITS  # (255, d=0) — see module docstring
 _BIG_LAB = jnp.int32(2**30)
 

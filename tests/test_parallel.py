@@ -296,6 +296,42 @@ def test_tiled_relax_pallas_geometry_raises(rng):
                         max_water_level=3, backend="relax_pallas")
 
 
+@pytest.mark.parametrize("trial", range(4))
+def test_tiled_relax_pallas_randomised(trial):
+    # Randomised differential: the tiled Pallas engine vs the single-device
+    # driver on random shapes/meshes/ranges (sentinels sprinkled in).
+    rng = np.random.default_rng(7000 + trial)
+    ny, nx = [(2, 2), (2, 4), (1, 4), (4, 2)][trial]
+    h = int(rng.integers(2, 4)) * 8 * ny
+    w = nx * max(8, int(rng.integers(1, 3)) * 16)
+    hi = int(rng.choice([4, 16, 254]))
+    maxlvl = int(rng.choice([2, hi // 2 + 1, 254]))
+    merging = bool(rng.integers(0, 2))
+    img = rng.integers(0, hi, size=(h, w)).astype(np.uint8)
+    img[rng.random((h, w)) < 0.02] = 0
+    img[rng.random((h, w)) < 0.02] = 255
+    n_seeds = int(rng.integers(2, 7))
+    coords = {(int(rng.integers(0, h)), int(rng.integers(0, w))) for _ in range(n_seeds)}
+    seeds = sorted(coords)
+    lab0 = paint_seeds((h, w), seeds)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=len(seeds),
+                   max_water_level=maxlvl, merging=merging)
+    )
+    devs = np.asarray(jax.devices()[: ny * nx]).reshape(ny, nx)
+    mesh = Mesh(devs, ("y", "x"))
+    got = np.asarray(
+        tiled_transform(img, lab0, mesh, n_labels=len(seeds),
+                        max_water_level=maxlvl, merging=merging, halo=8,
+                        backend="relax_pallas")
+    )
+    np.testing.assert_array_equal(
+        got, want,
+        err_msg=f"trial={trial} mesh={ny}x{nx} {h}x{w} hi={hi} "
+                f"maxlvl={maxlvl} merging={merging}",
+    )
+
+
 def test_transform_batch_merging_border_seeds(rng):
     # Regression (r2 review): on the stacked batch plane an inner image's
     # rows 0/H-1 are not global-border rows, so the component scan would
