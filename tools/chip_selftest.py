@@ -160,6 +160,23 @@ def main():
         f"{(got_sz != want_sz).sum()} diffs",
     )
 
+    # Edge-corrected transform on a preprocessed NaN-laced float field
+    # (quirk Q4 + Q7 end-to-end through the public API) vs the oracle.
+    esz = 256
+    field = rng.normal(size=(esz, esz)).astype(np.float64)
+    field[rng.random((esz, esz)) < 0.05] = np.nan
+    field[rng.random((esz, esz)) < 0.02] = np.inf
+    wse = TransformBuilder.default().enable_edge_correction().build_segmenting()
+    u8 = np.asarray(wse.pre_processor(field))
+    eseeds = wse.find_local_minima(u8)
+    got_e = np.asarray(wse.transform(u8, eseeds))
+    want_e = native_transform(u8, eseeds, 254, merging=False, edge_correction=True)
+    ok &= check(
+        f"edge-corrected segmenting on NaN-preprocessed field @ {esz}²",
+        (got_e == want_e).all(),
+        f"{(got_e != want_e).sum()} diffs",
+    )
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
