@@ -160,6 +160,33 @@ def main():
         f"{(got_sz != want_sz).sum()} diffs",
     )
 
+    # Mesh path on REAL hardware: a 1x1 mesh compiles the shard_map +
+    # Mosaic-kernel path with interpret=False (CPU CI only ever runs it in
+    # interpret mode) — degenerate collectives, real kernel.
+    from jax.sharding import Mesh
+
+    from rustronomy_watershed_tpu.ops import paint_seeds, run_levels
+    from rustronomy_watershed_tpu.parallel import tiled_transform
+
+    tsz = 512
+    timg = rng.integers(0, 40, size=(tsz, tsz)).astype(np.uint8)
+    tseeds = [(5, 5), (100, 400), (300, 128), (450, 450)]
+    tlab0 = paint_seeds((tsz, tsz), tseeds)
+    want_t = np.asarray(
+        run_levels(jnp.asarray(timg), tlab0, n_labels=4, max_water_level=39,
+                   merging=True)
+    )
+    mesh11 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("y", "x"))
+    got_t = np.asarray(
+        tiled_transform(timg, tlab0, mesh11, n_labels=4, max_water_level=39,
+                        merging=True, halo=16, backend="relax_pallas")
+    )
+    ok &= check(
+        f"tiled relax_pallas (shard_map, real Mosaic kernel) @ {tsz}² 1x1 mesh",
+        (got_t == want_t).all(),
+        f"{(got_t != want_t).sum()} diffs",
+    )
+
     # Edge-corrected transform on a preprocessed NaN-laced float field
     # (quirk Q4 + Q7 end-to-end through the public API) vs the oracle.
     esz = 256
