@@ -181,8 +181,13 @@ class _WatershedBase(WatershedUtils):
 
     # -- core API --------------------------------------------------------------
 
-    def transform(self, input_img, seeds) -> np.ndarray:
+    def transform(self, input_img, seeds, device_output: bool = False):
         """Final label image.
+
+        ``device_output=True`` returns the labels as a device array instead
+        of host numpy — production pipelines that keep post-processing on
+        the TPU skip the host-bound result transfer entirely (on tunnelled
+        dev platforms a 4096² int32 plane costs seconds to download).
 
         Implements the documented intent.  Reference divergence (SURVEY.md
         Q6): the reference's ``SegmentingWatershed::transform`` panics for
@@ -190,6 +195,7 @@ class _WatershedBase(WatershedUtils):
         ``MergingWatershed::transform`` is a constant-123 stub; both are bugs
         with no useful behaviour to replicate.
         """
+        out = jnp.asarray if device_output else np.asarray
         if self.backend == "native" and not self._needs_host_loop():
             # Production CPU path: the C++ level-sweep engine
             # (parity/oracle.cc) — the framework's native-runtime counterpart
@@ -197,13 +203,15 @@ class _WatershedBase(WatershedUtils):
             # device backends (pinned by tests/test_native_oracle.py).
             from ..parity import native
 
-            return native.native_transform(
-                np.asarray(input_img, dtype=np.uint8),
-                seeds,
-                self.max_water_level,
-                merging=self._merging,
-                edge_correction=self.edge_correction,
-            ).astype(np.int32)
+            return out(
+                native.native_transform(
+                    np.asarray(input_img, dtype=np.uint8),
+                    seeds,
+                    self.max_water_level,
+                    merging=self._merging,
+                    edge_correction=self.edge_correction,
+                ).astype(np.int32)
+            )
         if self._needs_host_loop():
             # Observability (hook/plots/progress/debug/checkpoint) runs the
             # host-stepped loop, like the reference's clone_with_hook canned
@@ -215,7 +223,7 @@ class _WatershedBase(WatershedUtils):
                 if ctx.water_level == ctx.max_water_level
                 else None
             )
-            return clone._host_stepped(input_img, seeds)[-1]
+            return out(clone._host_stepped(input_img, seeds)[-1])
         img, labels0 = self._prepare(input_img, seeds)
         if self.mesh is not None:
             from ..parallel.tiled import tiled_transform
@@ -228,7 +236,7 @@ class _WatershedBase(WatershedUtils):
                 max_water_level=self.max_water_level,
                 merging=self._merging,
             )
-            return np.asarray(labels)
+            return out(labels)
         labels = run_levels(
             img,
             labels0,
@@ -239,7 +247,7 @@ class _WatershedBase(WatershedUtils):
             sweep_fn=self.sweep_fn,
             backend=self._resolved_backend(),
         )
-        return np.asarray(labels)
+        return out(labels)
 
     def transform_batch(self, input_imgs, seeds_list) -> np.ndarray:
         """Batched transform over a stack of same-shaped cutouts

@@ -1,5 +1,6 @@
 """Public-surface tests: builder validation, hooks, prelude, observability."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -364,3 +365,24 @@ def test_checkpoint_resume_after_completion(rng, tmp_path):
     np.testing.assert_array_equal(first, want)
     again = ws.transform(img, seeds)  # resumes from the final snapshot
     np.testing.assert_array_equal(again, want)
+
+
+def test_transform_device_output(rng):
+    # device_output=True returns a device array (no host transfer) with the
+    # same values as the default numpy return.
+    img = rng.integers(0, 10, size=(20, 20)).astype(np.uint8)
+    ws = TransformBuilder.default().set_max_water_lvl(9).build_segmenting()
+    seeds = ws.find_local_minima(img)
+    host = ws.transform(img, seeds)
+    dev = ws.transform(img, seeds, device_output=True)
+    assert isinstance(host, np.ndarray)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(np.asarray(dev), host)
+    # native backend honours the flag too
+    wsn = (
+        TransformBuilder.default().set_max_water_lvl(9).set_backend("native")
+        .build_segmenting()
+    )
+    devn = wsn.transform(img, seeds, device_output=True)
+    assert isinstance(devn, jax.Array)
+    np.testing.assert_array_equal(np.asarray(devn), host)

@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--oracle-size", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--fuzz",
+        type=int,
+        default=12,
+        help="content-fuzz trials vs the C++ oracle (fixed static shapes, "
+        "so no recompiles — varies field content, dynamic range, "
+        "sentinel density, variant)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -202,6 +210,43 @@ def main():
         f"edge-corrected segmenting on NaN-preprocessed field @ {esz}²",
         (got_e == want_e).all(),
         f"{(got_e != want_e).sum()} diffs",
+    )
+
+    # Content fuzz: many random fields through ONE compiled program per
+    # variant (fixed shape + statics) vs the oracle — hunts data-dependent
+    # platform miscompiles of the kind CPU CI cannot see.
+    fsz = 384
+    fns = {
+        m: jax.jit(
+            partial(
+                watershed_e2e_impl,
+                max_water_level=254,
+                merging=m,
+                backend="relax_pallas",
+            )
+        )
+        for m in (False, True)
+    }
+    bad = 0
+    for t in range(args.fuzz):
+        hi = int(rng.choice([3, 8, 32, 128, 254]))
+        fimg = rng.integers(0, hi, size=(fsz, fsz)).astype(np.uint8)
+        for frac, val in ((rng.random() * 0.05, 0), (rng.random() * 0.05, 255)):
+            fimg[rng.random((fsz, fsz)) < frac] = val
+        merging = bool(t % 2)
+        fseeds = native_find_local_minima(fimg)
+        want_f = native_transform(fimg, fseeds, 254, merging=merging)
+        got_f = np.asarray(fns[merging](jnp.asarray(fimg)))
+        if not (got_f == want_f).all():
+            bad += 1
+            print(
+                f"  fuzz trial {t}: hi={hi} merging={merging} "
+                f"{(got_f != want_f).sum()} diffs"
+            )
+    ok &= check(
+        f"content fuzz vs C++ oracle @ {fsz}² ({args.fuzz} trials)",
+        bad == 0,
+        f"{bad} failing trials",
     )
 
     print("ALL OK" if ok else "FAILURES PRESENT")
