@@ -249,7 +249,7 @@ class _WatershedBase(WatershedUtils):
         )
         return out(labels)
 
-    def transform_batch(self, input_imgs, seeds_list) -> np.ndarray:
+    def transform_batch(self, input_imgs, seeds_list, device_output: bool = False):
         """Batched transform over a stack of same-shaped cutouts
         (BASELINE config 5: 64 x 1024² cutouts across a slice).
 
@@ -257,6 +257,8 @@ class _WatershedBase(WatershedUtils):
         ``jax.vmap`` of the jitted driver; with a mesh that has a 'batch'
         axis set on the builder, the batch is sharded over it (dp) and each
         image additionally tiles over the mesh's ('y', 'x') axes.
+        ``device_output=True`` skips the host-bound result transfer (see
+        ``transform``).
         """
         imgs = np.asarray(input_imgs, dtype=np.uint8)
         if imgs.ndim != 3:
@@ -271,6 +273,7 @@ class _WatershedBase(WatershedUtils):
             [paint_seeds(imgs.shape[1:], s) for s in seeds_list]
         )
         bucket = _label_bucket(max((len(s) for s in seeds_list), default=0))
+        ret = jnp.asarray if device_output else np.asarray
 
         if self.mesh is not None and "batch" in self.mesh.axis_names:
             from ..parallel.tiled import tiled_transform
@@ -284,7 +287,7 @@ class _WatershedBase(WatershedUtils):
                 merging=self._merging,
                 axis_batch="batch",
             )
-            return np.asarray(out)
+            return ret(out)
 
         backend = self._resolved_backend()
         if backend in ("relax", "relax_pallas"):
@@ -328,7 +331,7 @@ class _WatershedBase(WatershedUtils):
                 out = cache_resilient(
                     jax.jit(lambda x: jax.lax.map(merge_one, x))
                 )(out)
-            return np.asarray(out)
+            return ret(out)
 
         # Level-sweep backends: vmap over the jnp driver.  (The pallas flood
         # kernel does not support vmap; merging label tables are per-image
@@ -344,7 +347,7 @@ class _WatershedBase(WatershedUtils):
                 backend="jnp",
             )
         )
-        return np.asarray(run(jnp.asarray(imgs), labels0))
+        return ret(run(jnp.asarray(imgs), labels0))
 
     def transform_with_hook(self, input_img, seeds) -> list:
         """Run the transform, calling the configured hook each water level;
