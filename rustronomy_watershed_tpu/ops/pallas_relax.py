@@ -11,15 +11,23 @@ Representation: the lexicographic key (L, d) packs into ONE int32,
   the reference never floods at 255 — so the packed key never overflows),
 * unclaimed sentinel = 255 << 23 (level 255, d = 0).  This exact choice
   makes the whole candidate update branch-free: the lexicographic extend
-  ``(max(v, L), d+1-or-1)`` is ``max(kq + 1, vcand)`` (see one_sweep),
-  and the sentinel + 1 = (255<<23)|1 still carries level 255, so
-  unclaimed neighbours can never donate a claim and nothing overflows,
+  ``(max(v, L), d+1-or-1)`` is ``max(ext, vcand)`` with the SATURATING
+  increment ``ext = min(kq + 1, kq | D_MASK)`` (see one_sweep) — equal to
+  ``kq + 1`` whenever d < 2^23-1, pinned at (L, 2^23-1) once d hits the
+  field maximum so the +1 can never carry into the level field.  The
+  sentinel's extend = (255<<23)|1 still carries level 255, so unclaimed
+  neighbours can never donate a claim and nothing overflows,
 * seeds = 0 (L=0, d=0): every candidate key is >= (0<<23|1) = 1, so seeds
   are immutable with no special-casing,
-* d at the fixed point is the plateau BFS ring index — bounded by the
-  image DIAMETER (h+w), never the plateau size, so the 23-bit d field
-  cannot overflow for any image smaller than ~4M pixels on a side (the
-  exact-unpacked jnp engine remains available beyond that).
+* d at the fixed point is the plateau BFS ring index: the GEODESIC
+  distance through the equal-level plateau to its claim entry point.  For
+  a serpentine plateau that scales with plateau AREA (not the image
+  diameter), so a single >= 2^23-px plateau — possible from 2897² up — can
+  saturate the field.  Saturation degrades gracefully: rings beyond
+  2^23-1 tie at (L, 2^23-1), where claims still complete but label
+  donation needs a strictly-smaller neighbour key, so pixels deep inside
+  such a monster plateau may stay UNCOLOURED.  The exact-unpacked jnp
+  engine (ops.priority, 32-bit d) has no such limit.
 
 Bands follow the flood kernel's layout (full-width rows, P-row halo,
 wrap-rolls with ghost corruption confined to the discarded halo) plus the
@@ -69,6 +77,7 @@ def auto_tile(width: int, steps: int = DEFAULT_STEPS) -> int:
     return int(max(8, min(DEFAULT_TILE, tile)))
 
 _D_BITS = 23
+_D_MASK = (1 << _D_BITS) - 1
 _UNCLAIMED = NEVER_FILL << _D_BITS  # (255, d=0) — see module docstring
 _BIG_LAB = jnp.int32(2**30)
 
@@ -183,16 +192,22 @@ def _relax_kernel(
 
     def compute_and_write():
         # All candidate math runs on PACKED keys, branch-free:
-        #   cand(q) = max(kq + 1, vcand)  with vcand = min(vkey + 1, UNCLAIMED)
+        #   cand(q) = max(ext, vcand)  with vcand = min(vkey + 1, UNCLAIMED)
+        #   and the saturating increment ext = min(kq + 1, kq | D_MASK)
         # is EXACTLY the lexicographic extend-or-restart:
-        #   kq >= vkey (neighbour level >= v)  =>  kq+1 >= vkey+1 = vcand,
-        #     so max picks kq+1 = (L(q), d(q)+1)      — extend;
-        #   kq <  vkey                        =>  kq+1 <= vkey < vcand,
-        #     so max picks vcand = (v, 1)             — restart.
-        # Unclaimed neighbours (kq = 255<<23) give cand = (255<<23)+1, which
-        # can never beat any pixel's current key (<= 255<<23) — so aprons /
-        # NEVER_FILL pixels never donate; restarts at v >= 255 are rejected
-        # by vcand's min-clamp; nothing overflows (max key + 1 < 2^31).
+        #   d(q) < 2^23-1: ext = kq+1 (same level, d+1 <= D_MASK), and
+        #     kq >= vkey (neighbour level >= v)  =>  kq+1 >= vkey+1 = vcand,
+        #       so max picks kq+1 = (L(q), d(q)+1)    — extend;
+        #     kq <  vkey                        =>  kq+1 <= vkey < vcand,
+        #       so max picks vcand = (v, 1)           — restart.
+        #   d(q) == 2^23-1: kq+1 would CARRY into the level field; ext
+        #     saturates to kq itself (kq | D_MASK == kq), so monster-plateau
+        #     rings pin at (L, 2^23-1) instead of corrupting the level — see
+        #     the module docstring for the degradation semantics.
+        # Unclaimed neighbours (kq = 255<<23, d=0) give ext = (255<<23)+1,
+        # which can never beat any pixel's current key (<= 255<<23) — so
+        # aprons / NEVER_FILL pixels never donate; restarts at v >= 255 are
+        # rejected by vcand's min-clamp; nothing overflows (max key+1 < 2^31).
         vkey = jax.lax.shift_left(v2[slot].astype(jnp.int32) + 128, _D_BITS)
         vcand = jnp.minimum(vkey + 1, jnp.int32(_UNCLAIMED))
         key0 = key2[slot]
@@ -223,7 +238,8 @@ def _relax_kernel(
             lq4 = rolls(lab)
             best = key
             for kq in kq4:
-                best = jnp.minimum(best, jnp.maximum(kq + 1, vcand))
+                ext = jnp.minimum(kq + 1, kq | jnp.int32(_D_MASK))
+                best = jnp.minimum(best, jnp.maximum(ext, vcand))
             labmin = jnp.full_like(lab, biglab)
             for kq, lq in zip(kq4, lq4):
                 labmin = jnp.minimum(labmin, jnp.where(kq < best, lq, biglab))

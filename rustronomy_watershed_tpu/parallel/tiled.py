@@ -543,15 +543,7 @@ def tiled_transform(
 
     on_tpu = next(iter(mesh.devices.flat)).platform == "tpu"
     if backend == "auto":
-        if not merging or collect == "none":
-            k8 = _round_up8(halo)
-            backend = (
-                "relax_pallas"
-                if on_tpu and _pick_band_tile(h_local, w_local, k8)
-                else "relax"
-            )
-        else:
-            backend = "sweep"
+        backend = _auto_backend(on_tpu, merging, collect, h_local, w_local, halo)
 
     extra = {}
     if backend == "relax_pallas":
@@ -612,9 +604,29 @@ def _round_up8(k: int) -> int:
     return max(8, -(-k // 8) * 8)
 
 
+def _auto_backend(
+    on_tpu: bool, merging: bool, collect: str, h_local: int, w_local: int, halo: int
+) -> str:
+    """backend='auto' resolution.  Eligibility for 'relax_pallas' must mirror
+    EVERY constraint the relax_pallas branch enforces (incl. halo <= tile
+    width) — 'auto' must never raise for a geometry the jnp engine can
+    serve."""
+    if merging and collect != "none":
+        return "sweep"
+    k8 = _round_up8(halo)
+    if on_tpu and k8 <= w_local and _pick_band_tile(h_local, w_local, k8):
+        return "relax_pallas"
+    return "relax"
+
+
 def _pick_band_tile(h: int, w: int, k: int) -> int | None:
     """Largest band height t with t | h, t multiple of 8, k <= t <= the VMEM
-    cap for this tile width (ops.pallas_relax.auto_tile); None if impossible."""
+    cap for this tile width (ops.pallas_relax.auto_tile); None if impossible.
+
+    ``auto_tile(w, steps=k)`` internally sizes the footprint from the
+    lane-padded window width roundup(w + 2k, 128) — exactly the width the
+    tiled kernel runs on (_local_relax_pallas_driver pads to the same wp),
+    so no extra padding correction is needed here."""
     from ..ops.pallas_relax import auto_tile
 
     cap = min(auto_tile(w, steps=k), h)

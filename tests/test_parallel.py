@@ -353,3 +353,17 @@ def test_transform_batch_merging_border_seeds(rng):
     for i in range(3):
         single = ws.transform(imgs[i], seeds_list[i])
         np.testing.assert_array_equal(batched[i], single, err_msg=f"img{i}")
+
+
+def test_auto_backend_never_picks_pallas_for_narrow_tiles():
+    """'auto' must include the halo<=tile-width constraint in its eligibility
+    test (advisor finding: it used to pick relax_pallas for w_local < halo on
+    TPU meshes and then raise)."""
+    from rustronomy_watershed_tpu.parallel.tiled import _auto_backend
+
+    assert _auto_backend(True, False, "none", 64, 4, 8) == "relax"  # w < halo
+    assert _auto_backend(True, False, "none", 64, 128, 8) == "relax_pallas"
+    assert _auto_backend(False, False, "none", 64, 128, 8) == "relax"
+    assert _auto_backend(True, True, "sizes", 64, 128, 8) == "sweep"
+    # h too small for any band tile >= halo -> jnp engine, never a raise.
+    assert _auto_backend(True, False, "none", 4, 128, 8) == "relax"

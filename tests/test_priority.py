@@ -185,3 +185,42 @@ def test_merging_relax_rejects_per_level_collect(rng):
     with pytest.raises(ValueError):
         run_levels(jnp.asarray(img), lab0, n_labels=1, max_water_level=5,
                    merging=True, backend="relax", collect="sizes")
+
+
+def test_relax_pallas_d_field_saturates_instead_of_carrying():
+    """A claim chain whose ring index d has hit the 23-bit field maximum must
+    pin at (L, 2^23-1) — NOT carry into the level field as a spurious (L+1, 0)
+    claim (advisor finding: serpentine plateaus can reach d ~ plateau AREA,
+    so the field can really saturate from 2897^2-px images up)."""
+    import jax.numpy as jnp
+
+    from rustronomy_watershed_tpu.constants import NEVER_FILL
+    from rustronomy_watershed_tpu.ops.pallas_relax import (
+        _D_BITS,
+        _D_MASK,
+        _UNCLAIMED,
+        relax_block,
+    )
+
+    tile = steps = 8
+    hp, wp = tile + 2 * steps, 128
+    lvl = 5
+    v = np.full((hp, wp), NEVER_FILL, np.int32)
+    v[steps : steps + tile, 8:16] = lvl  # small flat plateau at level 5
+    v_pad = jnp.asarray((v - 128).astype(np.int8))
+
+    key = np.full((hp, wp), _UNCLAIMED, np.int32)
+    lab = np.zeros((hp, wp), np.int32)
+    key[10, 10] = (lvl << _D_BITS) | _D_MASK  # claimed, d at field max
+    lab[10, 10] = 7
+
+    key2, lab2, _, _ = relax_block(
+        jnp.asarray(v_pad), jnp.asarray(key), jnp.asarray(lab),
+        jnp.ones((1,), jnp.int32), tile=tile, steps=steps, interpret=True,
+    )
+    key2 = np.asarray(key2)
+    claimed = key2 != _UNCLAIMED
+    assert claimed[10, 11] and claimed[12, 12]  # saturated key still spreads
+    levels = key2[claimed] >> _D_BITS
+    assert (levels == lvl).all(), f"level field corrupted: {set(levels)}"
+    assert (key2[claimed] & _D_MASK == _D_MASK).all()  # pinned at d max
