@@ -67,6 +67,29 @@ def main():
     tile = int(tile_env) if tile_env else None
     steps = int(os.environ.get("BENCH_STEPS", "16"))
 
+    # Hardware parity gate: every bench run first re-certifies the chip with
+    # chip_selftest checks 1-2 (seed numbering + fused pack vs host NumPy at
+    # 512² — the bf16-truncation hazard class that CPU CI provably cannot
+    # catch).  Opt out with BENCH_SELFTEST=0.  Logs ride stderr so stdout
+    # stays the single JSON line the driver parses.
+    log = lambda msg: print(f"selftest: {msg}", file=sys.stderr)  # noqa: E731
+    if os.environ.get("BENCH_SELFTEST", "1") == "0":
+        log("skipped (BENCH_SELFTEST=0)")
+    elif jax.devices()[0].platform != "tpu":
+        log(f"skipped (platform={jax.devices()[0].platform}, gate is TPU-only)")
+    else:
+        from tools.chip_selftest import numbering_and_pack_checks
+
+        if not numbering_and_pack_checks(
+            np.random.default_rng(12345), 512, log=log
+        ):
+            print(
+                "selftest: HARDWARE PARITY FAILURE — refusing to time",
+                file=sys.stderr,
+            )
+            return 1
+        log("hardware parity gate passed")
+
     rng = np.random.default_rng(0)
     img = rng.integers(0, 254, size=(size, size)).astype(np.uint8)
     # Stage the input on-device once: the tunnelled host->device link runs at

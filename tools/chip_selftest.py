@@ -29,10 +29,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def check(name, cond, detail=""):
+def check(name, cond, detail="", log=print):
     status = "ok " if cond else "FAIL"
-    print(f"[{status}] {name}{(' — ' + detail) if detail else ''}")
+    log(f"[{status}] {name}{(' — ' + detail) if detail else ''}")
     return bool(cond)
+
+
+def numbering_and_pack_checks(rng, size, log=print):
+    """Checks 1+2: jnp seed numbering and the fused pack kernel vs host NumPy
+    at ``size``² on the ambient platform.  This is the subset bench.py runs
+    before every timing pass (the bf16-truncation hazard class: integer
+    numbering corrupted on chip while CPU CI stayed green)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from rustronomy_watershed_tpu.ops.pallas_pack import pack_domain_fused
+    from rustronomy_watershed_tpu.ops.pallas_relax import auto_tile, pack_domain
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    ok = True
+    img_np = rng.integers(0, 255, size=(size, size)).astype(np.uint8)
+    img = jax.device_put(jnp.asarray(img_np))
+    mask = np.asarray(local_extrema_mask(img))
+    truth = np.where(
+        mask, np.cumsum(mask.astype(np.int64)).reshape(mask.shape), 0
+    ).astype(np.int32)
+    got = np.asarray(seed_labels_from_mask(jnp.asarray(mask)))
+    ok &= check(
+        f"jnp seed numbering vs host NumPy @ {size}²",
+        (got == truth).all(),
+        f"{(got != truth).sum()} diffs",
+        log=log,
+    )
+
+    tile = auto_tile(size)
+    v0, k0, l0 = jax.jit(partial(pack_domain, tile=tile, steps=16))(img, truth)
+    v1, k1, l1, n = jax.jit(partial(pack_domain_fused, tile=tile, steps=16))(img)
+    ok &= check(
+        f"fused pack kernel vs jnp pack @ {size}²",
+        all(
+            (np.asarray(a) == np.asarray(b)).all()
+            for a, b in ((v0, v1), (k0, k1), (l0, l1))
+        )
+        and int(n) == truth.max(),
+        f"seeds={int(n)}",
+        log=log,
+    )
+    return ok
 
 
 def main():
@@ -54,18 +102,7 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
-    from rustronomy_watershed_tpu.ops.pallas_pack import pack_domain_fused
-    from rustronomy_watershed_tpu.ops.pallas_relax import (
-        _D_BITS,
-        _UNCLAIMED,
-        auto_tile,
-        pack_domain,
-    )
     from rustronomy_watershed_tpu.ops.pipeline import watershed_e2e_impl
-    from rustronomy_watershed_tpu.ops.seeds import (
-        local_extrema_mask,
-        seed_labels_from_mask,
-    )
     from rustronomy_watershed_tpu.parity.native import (
         native_find_local_minima,
         native_transform,
@@ -76,32 +113,7 @@ def main():
     ok = True
 
     # --- 1+2: numbering and fused pack vs host NumPy at --size ---
-    size = args.size
-    img_np = rng.integers(0, 255, size=(size, size)).astype(np.uint8)
-    img = jax.device_put(jnp.asarray(img_np))
-    mask = np.asarray(local_extrema_mask(img))
-    truth = np.where(
-        mask, np.cumsum(mask.astype(np.int64)).reshape(mask.shape), 0
-    ).astype(np.int32)
-    got = np.asarray(seed_labels_from_mask(jnp.asarray(mask)))
-    ok &= check(
-        f"jnp seed numbering vs host NumPy @ {size}²",
-        (got == truth).all(),
-        f"{(got != truth).sum()} diffs",
-    )
-
-    tile = auto_tile(size)
-    v0, k0, l0 = jax.jit(partial(pack_domain, tile=tile, steps=16))(img, truth)
-    v1, k1, l1, n = jax.jit(partial(pack_domain_fused, tile=tile, steps=16))(img)
-    ok &= check(
-        f"fused pack kernel vs jnp pack @ {size}²",
-        all(
-            (np.asarray(a) == np.asarray(b)).all()
-            for a, b in ((v0, v1), (k0, k1), (l0, l1))
-        )
-        and int(n) == truth.max(),
-        f"seeds={int(n)}",
-    )
+    ok &= numbering_and_pack_checks(rng, args.size)
 
     # --- 3+4: e2e vs the C++ oracle (no XLA) at --oracle-size, 254 levels ---
     osz = args.oracle_size
