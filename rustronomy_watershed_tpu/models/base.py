@@ -485,6 +485,20 @@ class _WatershedBase(WatershedUtils):
                 lambda ctx: (ctx.water_level, ctx.colours.copy())
             )._host_stepped(input_img, seeds)
         img, labels0 = self._prepare(input_img, seeds)
+        if self.mesh is not None:
+            from ..parallel.tiled import tiled_transform
+
+            _, hist = tiled_transform(
+                img,
+                labels0,
+                self.mesh,
+                n_labels=_label_bucket(len(seeds)),
+                max_water_level=self.max_water_level,
+                merging=self._merging,
+                collect="history",
+            )
+            hist = np.asarray(hist)
+            return [(lvl, hist[lvl]) for lvl in range(self.max_water_level + 1)]
         _, hist = run_levels(
             img,
             labels0,
@@ -508,7 +522,23 @@ class _WatershedBase(WatershedUtils):
         )
         img_np = np.asarray(img)
 
-        if self.debug:
+        mesh_stepper = None
+        if self.mesh is not None:
+            # Observability on the mesh: the host loop drives a per-level
+            # tiled step (shard_map flood fixed point + merge phase) so
+            # hooks/plots/progress/debug work on images that need tiling,
+            # like the reference's hooks firing under its parallel runtime
+            # (src/lib.rs:1509-1518).  Hook views are cropped back to the
+            # (padded-for-edge-correction) domain shape and bit-match the
+            # single-device host-stepped run.  Debug mode times whole levels
+            # (the split-phase timers are single-device granularity).
+            from ..parallel.tiled import MeshLevelStepper
+
+            mesh_stepper = MeshLevelStepper(
+                self.mesh, n_labels=bucket, merging=self._merging
+            )
+            img, labels = mesh_stepper.prepare(img, labels)
+        elif self.debug:
             # Split-phase jits so the PerfReport can time candidate search,
             # paint and merge separately, mirroring the reference's
             # instrumentation points (src/lib.rs:1404-1436, :1446-1470).
@@ -551,7 +581,12 @@ class _WatershedBase(WatershedUtils):
             latest = ckpt.latest()
             if latest is not None:
                 start_lvl, lab_np = latest
-                labels = jnp.asarray(lab_np)
+                if mesh_stepper is not None:
+                    # Checkpoints store the cropped domain; re-embed in the
+                    # mesh-padded plane.
+                    img, labels = mesh_stepper.prepare(img_np, lab_np)
+                else:
+                    labels = jnp.asarray(lab_np)
                 # Resume at the level after the snapshot; a snapshot taken AT
                 # the final level re-runs that level (idempotent: the flood
                 # fixed point and merge are no-ops on converged labels) so
@@ -562,7 +597,21 @@ class _WatershedBase(WatershedUtils):
         for lvl in range(start_lvl, self.max_water_level + 1):
             perf = PerfReport() if self.debug else None
             t_level = time.perf_counter()
-            if self.debug:
+            if mesh_stepper is not None:
+                t0 = time.perf_counter()
+                labels, loops = mesh_stepper.step(img, labels, lvl)
+                labels.block_until_ready()
+                if perf is not None:
+                    perf.loops = int(loops)
+                    perf.big_iter_ms.append(
+                        int((time.perf_counter() - t0) * 1e3)
+                    )
+                if bar is not None:
+                    # One tick per halo-exchange round (the mesh analogue of
+                    # the reference's per-colouring-iteration ticks).
+                    for _ in range(int(loops)):
+                        bar.tick()
+            elif self.debug:
                 # Host-stepped colouring loop with per-phase timers and
                 # per-iteration progress ticks, like the reference's 'debug'
                 # feature (src/lib.rs:1379-1438).  Slow (one dispatch per
@@ -604,7 +653,11 @@ class _WatershedBase(WatershedUtils):
                 labels = step(img, labels, jnp.int32(lvl))
                 labels.block_until_ready()
 
-            labels_np = np.asarray(labels)
+            labels_np = (
+                mesh_stepper.crop(labels)
+                if mesh_stepper is not None
+                else np.asarray(labels)
+            )
             if ckpt is not None:
                 ckpt.maybe_save(lvl, labels_np)
             if self.plot_path is not None:

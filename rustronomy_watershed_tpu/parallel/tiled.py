@@ -475,10 +475,19 @@ def _local_level_driver(
     if collect == "sizes":
         out = jnp.zeros((levels, b, n_labels + 1), dtype=jnp.int32)
 
+        # Column 0 is the COMPLEMENT against the original domain size, not a
+        # direct bincount: mesh padding pixels are UNCOLOURED forever and
+        # must not inflate the uncoloured count (same rule as
+        # _relax_collect_tail).
+        total = global_shape[0] * global_shape[1]
+
         def body(lvl, carry):
             lab, out = carry
             lab = run_lvl(lvl, lab)
             counts = lax.psum(_batched_bincount(lab, n_labels + 1), axes)
+            counts = counts.at[:, 0].set(
+                total - jnp.sum(counts[:, 1:], axis=1)
+            )
             return lab, out.at[lvl].set(counts)
 
         final, out = lax.fori_loop(0, levels, body, (lab_tile, out))
@@ -498,6 +507,28 @@ def _local_level_driver(
     raise ValueError(f"unknown collect mode {collect!r}")
 
 
+def _mesh_pad(img, labels0, ny: int, nx: int):
+    """Embed (B, H, W) arrays in a mesh-divisible domain with INERT padding.
+
+    Padding pixels get NEVER_FILL values / UNCOLOURED labels at the bottom /
+    right; every driver applies its interior rule against the ORIGINAL
+    (gh, gw) via ``global_interior_mask``, so padded cells (like the original
+    1-px border) can never claim, donate, or act as merge centres — the crop
+    back to (gh, gw) is bit-identical to the exact-divisible run.  H pads to
+    a multiple of 8*ny so the Pallas engine's band-tile divisor search stays
+    viable on the per-device tile height.
+    """
+    _, gh, gw = img.shape
+    pad_h = -gh % (8 * ny) if gh >= 8 * ny else -gh % ny
+    pad_w = -gw % nx
+    if pad_h == 0 and pad_w == 0:
+        return img, labels0
+    pads = ((0, 0), (0, pad_h), (0, pad_w))
+    img = jnp.pad(img, pads, constant_values=NEVER_FILL)
+    labels0 = jnp.pad(labels0, pads, constant_values=UNCOLOURED)
+    return img, labels0
+
+
 def tiled_transform(
     img,
     labels0,
@@ -515,8 +546,10 @@ def tiled_transform(
 ):
     """Run the full watershed tiled over ``mesh``.
 
-    ``img``/``labels0``: (H, W) or (B, H, W); H and W must divide evenly by
-    the mesh's y/x extent.  With ``axis_batch`` set, the leading batch axis is
+    ``img``/``labels0``: (H, W) or (B, H, W) with any H and W — non-divisible
+    shapes (e.g. the (H+2, W+2) edge-corrected domain on an even mesh) are
+    embedded in a mesh-divisible plane with inert padding (``_mesh_pad``) and
+    cropped on exit.  With ``axis_batch`` set, the leading batch axis is
     additionally sharded over that mesh axis (dp x spatial).  Returns final
     labels, plus (levels, B, K+1) lake sizes when ``collect='sizes'`` or
     (levels, B, H, W) snapshots when ``collect='history'``.
@@ -537,9 +570,9 @@ def tiled_transform(
     _, gh, gw = img.shape
     ny = mesh.shape[axis_y]
     nx = mesh.shape[axis_x]
-    if gh % ny or gw % nx:
-        raise ValueError(f"image {gh}x{gw} not divisible by mesh {ny}x{nx}")
-    h_local, w_local = gh // ny, gw // nx
+    img, labels0 = _mesh_pad(img, labels0, ny, nx)
+    _, gh2, gw2 = img.shape
+    h_local, w_local = gh2 // ny, gw2 // nx
 
     on_tpu = next(iter(mesh.devices.flat)).platform == "tpu"
     if backend == "auto":
@@ -565,6 +598,10 @@ def tiled_transform(
     spec = P(axis_batch, axis_y, axis_x)
     local = partial(
         driver,
+        # ORIGINAL shape, not the padded one: every driver derives its
+        # interior / paint / merge masks and the sizes column-0 complement
+        # from it (global_interior_mask), which is what keeps the padding
+        # inert (see _mesh_pad).
         global_shape=(gh, gw),
         n_labels=n_labels,
         max_water_level=max_water_level,
@@ -593,11 +630,15 @@ def tiled_transform(
         )
     )
     out = fn(img, labels0)
+    if collect == "none":
+        out = out[..., :gh, :gw]
+        return out[0] if squeeze else out
+    labels, stats = out[0][..., :gh, :gw], out[1]
+    if collect == "history":
+        stats = stats[..., :gh, :gw]
     if squeeze:
-        if collect == "none":
-            return out[0]
-        return out[0][0], out[1][:, 0]
-    return out
+        return labels[0], stats[:, 0]
+    return labels, stats
 
 
 def _round_up8(k: int) -> int:
@@ -636,6 +677,127 @@ def _pick_band_tile(h: int, w: int, k: int) -> int | None:
             return t
         t -= 8
     return None
+
+
+def _local_level_step(
+    img_tile,
+    lab_tile,
+    lvl,
+    *,
+    global_shape,
+    n_labels,
+    merging,
+    halo,
+    axis_y,
+    axis_x,
+    control_axes,
+):
+    """ONE water level on a mesh tile (runs under shard_map): flood to the
+    global fixed point, then the merge phase (merging variant).  Shapes
+    (B, h, w); returns (labels, rounds) where ``rounds`` counts the
+    halo-exchange iterations (the mesh path's analogue of the reference's
+    per-colouring-iteration progress ticks, src/lib.rs:1395-1398)."""
+    axes = (axis_y, axis_x)
+    img_tile = img_tile.astype(jnp.int32)
+    h, w = lab_tile.shape[-2:]
+    img_p = exchange_halo(img_tile, halo, axis_y, axis_x, off_grid_fill=NEVER_FILL)
+    paint_mask = global_interior_mask((h, w), global_shape, halo, axis_y, axis_x)
+
+    def body(state):
+        lab, _, n = state
+        lab_p = exchange_halo(lab, halo, axis_y, axis_x, off_grid_fill=UNCOLOURED)
+        lab_p = lax.fori_loop(
+            0, halo, lambda i, lp: flood_sweep(img_p, lp, lvl, paint_mask), lab_p
+        )
+        new = lab_p[..., halo:-halo, halo:-halo]
+        changed = (
+            lax.psum(jnp.any(new != lab).astype(jnp.int32), control_axes) > 0
+        )
+        return new, changed, n + 1
+
+    lab, _, rounds = lax.while_loop(
+        lambda s: s[1], body, (lab_tile, jnp.bool_(True), jnp.int32(0))
+    )
+    if merging:
+        merge_mask = global_interior_mask((h, w), global_shape, 1, axis_y, axis_x)
+        lab = _merge_fixed_point(
+            lab,
+            n_labels=n_labels,
+            merge_mask=merge_mask,
+            axes=axes,
+            control_axes=control_axes,
+        )
+    return lab, rounds
+
+
+class MeshLevelStepper:
+    """Host-stepped per-level driver over a mesh: the observability loop
+    (hooks / plots / progress / debug / checkpoints) calls ``step`` once per
+    water level, exactly like the single-device ``level_step``, but with the
+    level's flood fixed point + merge phase running tiled over the mesh
+    (halo exchange over ICI, psum convergence, replicated merge tables).
+    Mirrors the reference, whose hooks fire under its parallel runtime
+    (src/lib.rs:1509-1518).
+
+    ``prepare`` embeds the (H, W) domain in a mesh-divisible padded plane
+    (``_mesh_pad`` — inert padding, original-shape interior rule); ``crop``
+    restores the (H, W) view for hooks/plots/checkpoints.  The padded label
+    state stays on device between levels.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        *,
+        n_labels: int,
+        merging: bool,
+        halo: int = 4,
+        axis_y: str = "y",
+        axis_x: str = "x",
+    ):
+        self.mesh = mesh
+        self.axis_y, self.axis_x = axis_y, axis_x
+        self.ny = mesh.shape[axis_y]
+        self.nx = mesh.shape[axis_x]
+        self._shape = None
+        self._step = None  # built in prepare (needs the domain shape)
+        self._kw = dict(
+            n_labels=n_labels,
+            merging=merging,
+            halo=halo,
+            axis_y=axis_y,
+            axis_x=axis_x,
+            control_axes=tuple(mesh.axis_names),
+        )
+
+    def prepare(self, img, labels0):
+        """(padded device img, padded device labels); records the crop."""
+        img = jnp.asarray(img)[None]
+        labels0 = jnp.asarray(labels0, dtype=jnp.int32)[None]
+        self._shape = img.shape[1:]
+        img2, lab2 = _mesh_pad(img, labels0, self.ny, self.nx)
+        spec = P(None, self.axis_y, self.axis_x)
+        self._step = jax.jit(
+            jax.shard_map(
+                partial(
+                    _local_level_step, global_shape=self._shape, **self._kw
+                ),
+                mesh=self.mesh,
+                in_specs=(spec, spec, P()),
+                out_specs=(spec, P()),
+                check_vma=False,
+            )
+        )
+        return img2, lab2
+
+    def step(self, img, labels, lvl):
+        """One water level; returns (padded labels, iteration count)."""
+        labels, rounds = self._step(img, labels, jnp.int32(lvl))
+        return labels, rounds
+
+    def crop(self, labels) -> np.ndarray:
+        gh, gw = self._shape
+        return np.asarray(labels)[0, :gh, :gw]
 
 
 def make_mesh(n_devices: int | None = None, axis_names=("y", "x")) -> Mesh:
