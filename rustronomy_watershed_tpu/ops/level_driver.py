@@ -163,6 +163,17 @@ def run_levels_impl(
         labels0 = jnp.asarray(labels0, dtype=jnp.int32)
     levels = max_water_level + 1
 
+    if backend in ("relax", "relax_pallas") and merging and collect != "none":
+        # Per-level MERGED statistics need the incremental per-level unions,
+        # which the one-shot relaxation cannot produce — fall back to the
+        # level-sweep engine of the matching platform tier instead of raising
+        # (same steering as the public API's _resolved_backend).  NB the
+        # public ``transform_to_list`` uses the much faster merge_curve path
+        # (one relax pass + host Kruskal) — this on-device fallback exists
+        # for direct run_levels callers, who may not pass host-side work.
+        backend = "pallas" if backend == "relax_pallas" else "jnp"
+        tile = steps = None  # relax tuning does not apply to the flood kernel
+
     if backend in ("relax", "relax_pallas"):
         # The whole transform as ONE priority-relaxation fixed point
         # (ops.priority / ops.pallas_relax) — bit-identical to the level
@@ -174,12 +185,7 @@ def run_levels_impl(
         # "each 4-connected component of the claimed set takes its minimum
         # seed label" — i.e. one transitive merge_touching over the
         # segmenting labels.  Per-level curves/history still need the
-        # incremental per-level unions (level-sweep backends).
-        if merging and collect != "none":
-            raise ValueError(
-                "backend='relax' supports merging only with collect='none' "
-                "(per-level merged statistics need the level-sweep backends)"
-            )
+        # incremental per-level unions (handled by the fallback above).
         from .priority import relax_transform, sizes_from_levels
 
         if backend == "relax_pallas":
