@@ -121,14 +121,20 @@ def _fwd_v_kernel(
     )
     y = jnp.where(reset, 0, final)
     y = jnp.where((cc == 0) | (cc == real_w - 1), x, y)  # border columns
-    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], jnp.any(y != x).astype(jnp.int32))
+    band_chg = jnp.any(y != x)
+    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], band_chg.astype(jnp.int32))
 
-    yst[...] = y
-    co = pltpu.make_async_copy(
-        yst, y_out.at[pl.ds(i * tile, tile), :], sems.at[slot, 1]
-    )
-    co.start()
-    co.wait()
+    # In-place aliased output: an unchanged band's rows already hold the
+    # right values, so skip its write-back entirely — the certify round
+    # (every fixed point needs one clean round) then costs reads only.
+    @pl.when(band_chg)
+    def _():
+        yst[...] = y
+        co = pltpu.make_async_copy(
+            yst, y_out.at[pl.ds(i * tile, tile), :], sems.at[slot, 1]
+        )
+        co.start()
+        co.wait()
 
 
 def _bwd_vh_kernel(
@@ -183,16 +189,18 @@ def _bwd_vh_kernel(
     # Border rows (0, real_h-1): horizontal border-border edges never merge.
     grow = rr + i * tile
     out = jnp.where((grow == 0) | (grow == real_h - 1), z, out)
-    chg_ref[0, 0] = jnp.maximum(
-        chg_ref[0, 0], jnp.any(out != y).astype(jnp.int32)
-    )
+    band_chg = jnp.any(out != y)
+    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], band_chg.astype(jnp.int32))
 
-    ost[...] = out
-    co = pltpu.make_async_copy(
-        ost, out_hbm.at[pl.ds(i * tile, tile), :], sems.at[slot, 1]
-    )
-    co.start()
-    co.wait()
+    # In-place aliased output; skip unchanged bands (see _fwd_v_kernel).
+    @pl.when(band_chg)
+    def _():
+        ost[...] = out
+        co = pltpu.make_async_copy(
+            ost, out_hbm.at[pl.ds(i * tile, tile), :], sems.at[slot, 1]
+        )
+        co.start()
+        co.wait()
 
 
 def _round_tile(wp: int) -> int:
@@ -227,6 +235,9 @@ def _call_round_kernel(kernel, src, *, tile, interpret, **kw):
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
+        # The plane is aliased in-place (kernels write only changed bands;
+        # unchanged bands' rows are already correct in the donated buffer).
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024
         ),
