@@ -65,7 +65,9 @@ def main():
     inner = int(os.environ.get("BENCH_INNER", str(inner_default)))
     tile_env = os.environ.get("BENCH_TILE")
     tile = int(tile_env) if tile_env else None
-    steps = int(os.environ.get("BENCH_STEPS", "16"))
+    steps_env = os.environ.get("BENCH_STEPS")
+    # Default None = the measured schedule (ops.tune) — what users get.
+    steps = int(steps_env) if steps_env else None
 
     # Hardware parity gate: every bench run first re-certifies the chip with
     # chip_selftest checks 1-2 (seed numbering + fused pack vs host NumPy at

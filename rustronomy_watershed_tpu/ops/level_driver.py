@@ -189,13 +189,12 @@ def run_levels_impl(
         from .priority import relax_transform, sizes_from_levels
 
         if backend == "relax_pallas":
-            from . import pallas_relax
             from .pallas_relax import relax_transform_pallas
 
             labels, claim_levels = relax_transform_pallas(
                 img, labels0, max_water_level=max_water_level,
                 tile=tile,
-                steps=steps or pallas_relax.DEFAULT_STEPS,
+                steps=steps,  # None -> measured schedule (ops.tune)
                 interpret=interpret,
             )
         else:

@@ -117,7 +117,6 @@ def _device_curves(
     from .scan_merge import component_min_labels
 
     if backend == "relax_pallas":
-        from . import pallas_relax
         from .pallas_relax import relax_transform_pallas
 
         labels, claim_levels = relax_transform_pallas(
@@ -125,7 +124,7 @@ def _device_curves(
             labels0,
             max_water_level=max_water_level,
             tile=tile,
-            steps=steps or pallas_relax.DEFAULT_STEPS,
+            steps=steps,  # None -> measured schedule (ops.tune)
             interpret=interpret,
         )
     else:

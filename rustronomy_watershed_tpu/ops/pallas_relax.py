@@ -485,12 +485,13 @@ def relax_transform_pallas(
     *,
     max_water_level: int = 254,
     tile=None,
-    steps=DEFAULT_STEPS,
+    steps=None,
     interpret=False,
 ):
     """Full segmenting transform; bit-identical to ops.priority.relax_transform
     (and hence to the level-sweep drivers).  Returns (labels, claim_levels).
-    ``tile=None`` picks the widest band that fits VMEM (auto_tile).
+    ``tile=None`` picks the widest band that fits VMEM (auto_tile);
+    ``steps=None`` picks the measured schedule (ops.tune.relax_steps).
 
     ``labels0=None`` means "seeds from the image" (reference find_local_minima
     semantics): the fused pack kernel (ops.pallas_pack) computes the seed mask,
@@ -499,6 +500,10 @@ def relax_transform_pallas(
     """
     img = jnp.asarray(img)
     h, w = img.shape
+    if steps is None:
+        from .tune import relax_steps
+
+        steps = relax_steps(w)
     if tile is None:
         tile = auto_tile(w, steps)
     if labels0 is None:

@@ -262,13 +262,22 @@ def _component_min_pallas(labels, h, w, tile, interpret):
 
     def body(state):
         lab, _ = state
-        y, c1 = _call_round_kernel(
+        y, _ = _call_round_kernel(
             _fwd_v_kernel, lab, tile=tile, interpret=interpret, real_w=w
         )
         out, c2 = _call_round_kernel(
             _bwd_vh_kernel, y, tile=tile, interpret=interpret, real_h=h, real_w=w
         )
-        return out, c1 | c2
+        # Pass 2 being INTERNALLY clean certifies the fixed point even when
+        # pass 1 changed things: y = fwd(x) is non-increasing within every
+        # vertical run (prefix-min), so bwd(y) == y forces y constant within
+        # each run — i.e. the exact vertical run-min, hence fwd(y) == y too;
+        # clean h-scans then pin the horizontal direction, and a state
+        # stable under all four directional scans (with border restores,
+        # which both flags include) is the unique component-min fixed point.
+        # Saves one full (2-pass) certify round whenever the last effective
+        # changes came from the forward-vertical pass alone.
+        return out, c2
 
     out, _ = jax.lax.while_loop(lambda s: s[1], body, (lab0, jnp.bool_(True)))
     return jax.lax.slice(out, (0, 0), (h, w))

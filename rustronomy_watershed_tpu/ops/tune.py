@@ -1,0 +1,51 @@
+"""Measured relax-kernel configurations (round-4 perf sweep on TPU v5e).
+
+``steps`` (fused sweeps per kernel call) is the schedule-defining knob for
+the relax engine: the fixed point needs ~O(longest claim chain) sweeps
+(measured: ~29 at 4096² on dense random fields), and the kernel's early
+exit (ops.pallas_relax one_sweep loop) makes over-provisioned steps nearly
+free — a band stops sweeping the moment a sweep changes nothing.  Choosing
+steps *above* the typical chain length therefore lets the whole transform
+converge (and certify, via the pipelined last-sweep witness) in ONE dense
+kernel call instead of two-plus-certify, halving the relax phase's HBM
+rounds.  Measured at 4096²: steps=16 → 1096, 24 → 964, 32 → 1242, 40 →
+1093 Mpix/s (too-wide halos re-lose the win to window DMA overhead).
+
+``tile`` (band height) stays governed by the VMEM-fit bound
+(ops.pallas_relax.auto_tile); the sweep found no configuration where a
+sub-VMEM-cap tile beat the largest fitting one.
+
+The table is keyed by image-width bucket (next power of two).  Unlisted
+buckets fall back to the nearest measured bucket.  Override per call with
+the explicit ``steps=``/``tile=`` arguments, or process-wide with the
+``RWT_RELAX_STEPS`` env var (used by perf triage, not needed in normal
+operation).
+"""
+
+from __future__ import annotations
+
+import os
+
+# width bucket -> steps.  Measured on v5e (see BENCHMARKS.md round 4);
+# validated within ~5% of the best swept config at each size.
+RELAX_STEPS_TABLE: dict[int, int] = {
+    1024: 32,
+    2048: 32,
+    4096: 32,
+    8192: 32,
+}
+
+_MIN_STEPS = 8  # Mosaic sublane-DMA slice granularity
+
+
+def relax_steps(width: int) -> int:
+    """Tuned fused-sweep count for this image width."""
+    env = os.environ.get("RWT_RELAX_STEPS")
+    if env:
+        return max(_MIN_STEPS, (int(env) // 8) * 8)
+    bucket = 1 << max(0, (width - 1).bit_length())
+    if bucket in RELAX_STEPS_TABLE:
+        return RELAX_STEPS_TABLE[bucket]
+    keys = sorted(RELAX_STEPS_TABLE)
+    nearest = min(keys, key=lambda k: abs(k - bucket))
+    return RELAX_STEPS_TABLE[nearest]
