@@ -243,7 +243,17 @@ def _relax_kernel(
             labmin = jnp.full_like(lab, biglab)
             for kq, lq in zip(kq4, lq4):
                 labmin = jnp.minimum(labmin, jnp.where(kq < best, lq, biglab))
-            new_lab = jnp.where(labmin == biglab, lab, labmin)
+            # Gate on claimed-ness: an UNCLAIMED pixel (best == sentinel —
+            # e.g. NEVER_FILL / border / apron) must keep lab = 0 instead of
+            # soaking up neighbour labels it can never use.  Donating
+            # neighbours (kq < best) are claimed, so claimed pixels' label
+            # propagation is untouched — final labels are bit-identical, and
+            # the invariant "lab plane == final label image" lets the driver
+            # skip the whole where(claim <= max) extraction pass at the
+            # default max water level.
+            new_lab = jnp.where(
+                (labmin == biglab) | (best == jnp.int32(_UNCLAIMED)), lab, labmin
+            )
             chg = (best != key) | (new_lab != lab)
             chg_ctr = chg[p : p + t, :]
             if ctr_cols is not None:
@@ -525,5 +535,12 @@ def relax_transform_pallas(
         jnp.int32(NEVER_FILL + 1),
         jax.lax.shift_right_logical(key, _D_BITS),
     )
-    labels = jnp.where(claim_levels <= max_water_level, lab, UNCOLOURED)
+    if max_water_level >= 254:  # NORMAL_MAX — every claim is <= 254
+        # The kernel's claimed-ness gate (one_sweep) guarantees unclaimed
+        # pixels keep lab = 0, so the lab plane IS the final label image —
+        # no where(claim <= max) plane pass (XLA fuses the bare slice into
+        # the consumer; claim_levels is DCE'd when the caller discards it).
+        labels = lab
+    else:
+        labels = jnp.where(claim_levels <= max_water_level, lab, UNCOLOURED)
     return labels, claim_levels
