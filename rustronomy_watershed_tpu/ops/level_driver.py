@@ -188,6 +188,26 @@ def run_levels_impl(
         # incremental per-level unions (handled by the fallback above).
         from .priority import relax_transform, sizes_from_levels
 
+        if (
+            merging
+            and backend == "relax_pallas"
+            and max_water_level >= 254  # full depth: no claim needs masking
+        ):
+            # Fastest merging path: relax to the fixed point, then run the
+            # component-min scans DIRECTLY on the padded label plane (the
+            # claimed-ness gate pins out-of-domain cells at 0 = barriers) —
+            # no extraction or slice pass ever materialises.
+            from .pallas_relax import relax_packed_planes
+            from .scan_merge import component_min_from_padded
+
+            h, w = img.shape
+            _, lab_pad, p, tile_r = relax_packed_planes(
+                img, labels0, tile=tile, steps=steps, interpret=interpret
+            )
+            return component_min_from_padded(
+                lab_pad, p=p, h=h, w=w, tile=tile_r, interpret=interpret
+            )
+
         if backend == "relax_pallas":
             from .pallas_relax import relax_transform_pallas
 

@@ -489,6 +489,36 @@ def relax_fixed_point(
     return key, lab
 
 
+def relax_packed_planes(img, labels0, *, tile=None, steps=None, interpret=False):
+    """Run the relaxation to its fixed point and return the PADDED planes:
+    (key_pad, lab_pad, p, tile) with real data at rows/cols [p, p + dim).
+
+    The claimed-ness gate (one_sweep) guarantees lab_pad is 0 at every
+    unclaimed cell, so downstream kernels (ops.scan_merge) can consume the
+    padded plane directly with out-of-domain cells acting as barriers.
+    """
+    img = jnp.asarray(img)
+    _, w = img.shape
+    if steps is None:
+        from .tune import relax_steps
+
+        steps = relax_steps(w)
+    if tile is None:
+        tile = auto_tile(w, steps)
+    if labels0 is None:
+        from .pallas_pack import pack_domain_fused
+
+        v_pad, key_pad, lab_pad, _ = pack_domain_fused(
+            img, tile, steps, interpret=interpret
+        )
+    else:
+        v_pad, key_pad, lab_pad = pack_domain(img, labels0, tile, steps)
+    key, lab = relax_fixed_point(
+        v_pad, key_pad, lab_pad, tile=tile, steps=steps, interpret=interpret
+    )
+    return key, lab, steps, tile
+
+
 def relax_transform_pallas(
     img,
     labels0,
@@ -508,26 +538,11 @@ def relax_transform_pallas(
     row-major numbering, and the packed planes in ONE banded HBM pass instead
     of the jnp seed pipeline + pack_domain's three full-plane update-slices.
     """
+    key, lab, p, tile = relax_packed_planes(
+        img, labels0, tile=tile, steps=steps, interpret=interpret
+    )
     img = jnp.asarray(img)
     h, w = img.shape
-    if steps is None:
-        from .tune import relax_steps
-
-        steps = relax_steps(w)
-    if tile is None:
-        tile = auto_tile(w, steps)
-    if labels0 is None:
-        from .pallas_pack import pack_domain_fused
-
-        v_pad, key_pad, lab_pad, _ = pack_domain_fused(
-            img, tile, steps, interpret=interpret
-        )
-    else:
-        v_pad, key_pad, lab_pad = pack_domain(img, labels0, tile, steps)
-    key, lab = relax_fixed_point(
-        v_pad, key_pad, lab_pad, tile=tile, steps=steps, interpret=interpret
-    )
-    p = steps
     key = jax.lax.dynamic_slice(key, (p, p), (h, w))
     lab = jax.lax.dynamic_slice(lab, (p, p), (h, w))
     claim_levels = jnp.where(

@@ -78,11 +78,30 @@ def _seg_min_scan(v, b, axis, size, reverse, idx):
 
 
 def _fwd_v_kernel(
-    lab_hbm, y_out, chg_ref, win, yst, carry, sems, *, tile, real_w
+    lab_hbm,
+    y_out,
+    chg_ref,
+    win,
+    yst,
+    carry,
+    sems,
+    *,
+    tile,
+    col_lo,
+    col_hi,
+    row_off=0,
+    always_write=False,
 ):
     """Pass 1 of a round: forward vertical segmented-min scan, banded, with a
-    cross-band carry row; border columns (0, real_w-1) pass through unchanged
-    (the reference never merges border-border vertical edges there)."""
+    cross-band carry row; border columns (col_lo, col_hi) pass through
+    unchanged (the reference never merges border-border vertical edges).
+
+    ``row_off``/``always_write``: the fused first pass reads the relax
+    engine's PADDED label plane directly (real rows start at ``row_off``,
+    real columns at ``col_lo``; the claimed-ness gate guarantees apron /
+    padding cells are 0 = barriers) and writes a fresh scan-geometry plane,
+    so no separate extraction/slice pass ever materialises.
+    """
     i = pl.program_id(0)
     gy = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
@@ -92,7 +111,9 @@ def _fwd_v_kernel(
 
     def dma_in(s, band):
         return pltpu.make_async_copy(
-            lab_hbm.at[pl.ds(band * tile, tile), :], win.at[s], sems.at[s, 0]
+            lab_hbm.at[pl.ds(row_off + band * tile, tile), :],
+            win.at[s],
+            sems.at[s, 0],
         )
 
     @pl.when(i == 0)
@@ -120,14 +141,15 @@ def _fwd_v_kernel(
         jnp.where(rr == tile - 1, final, inf), axis=0, keepdims=True
     )
     y = jnp.where(reset, 0, final)
-    y = jnp.where((cc == 0) | (cc == real_w - 1), x, y)  # border columns
+    y = jnp.where((cc == col_lo) | (cc == col_hi), x, y)  # border columns
     band_chg = jnp.any(y != x)
     chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], band_chg.astype(jnp.int32))
 
     # In-place aliased output: an unchanged band's rows already hold the
     # right values, so skip its write-back entirely — the certify round
     # (every fixed point needs one clean round) then costs reads only.
-    @pl.when(band_chg)
+    # (The fused first pass writes a DIFFERENT plane and must always write.)
+    @pl.when(band_chg | jnp.bool_(always_write))
     def _():
         yst[...] = y
         co = pltpu.make_async_copy(
@@ -138,7 +160,7 @@ def _fwd_v_kernel(
 
 
 def _bwd_vh_kernel(
-    y_hbm, out_hbm, chg_ref, win, ost, carry, sems, *, tile, real_h, real_w
+    y_hbm, out_hbm, chg_ref, win, ost, carry, sems, *, tile, real_h, col_lo, col_hi
 ):
     """Pass 2 of a round (reversed band order): backward vertical scan (the
     run-min is bwd(fwd(x))), then BOTH horizontal scans in-band via lane
@@ -178,7 +200,7 @@ def _bwd_vh_kernel(
     final = jnp.where(b != 0, v, jnp.minimum(v, carry[...]))
     carry[...] = jnp.min(jnp.where(rr == 0, final, inf), axis=0, keepdims=True)
     z = jnp.where(reset, 0, final)
-    z = jnp.where((cc == 0) | (cc == real_w - 1), y, z)  # border columns
+    z = jnp.where((cc == col_lo) | (cc == col_hi), y, z)  # border columns
 
     # Horizontal run-min within the band (rows independent): bwd(fwd(z)).
     zres = z == 0
@@ -209,10 +231,18 @@ def _round_tile(wp: int) -> int:
     return int(max(8, min(256, t)))
 
 
-def _call_round_kernel(kernel, src, *, tile, interpret, **kw):
-    """Invoke one banded scan pass; returns (plane, changed)."""
+def _call_round_kernel(kernel, src, *, tile, interpret, out_rows=None, **kw):
+    """Invoke one banded scan pass; returns (plane, changed).
+
+    ``out_rows=None`` aliases the plane in-place (kernels write only changed
+    bands; unchanged bands' rows are already correct in the donated buffer).
+    A fused first pass sets ``out_rows`` to emit a fresh scan-geometry plane
+    from a larger padded source (no aliasing possible there)."""
     hp, wp = src.shape
-    gy = hp // tile
+    alias = out_rows is None
+    if out_rows is None:
+        out_rows = hp
+    gy = out_rows // tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(gy,),
@@ -232,12 +262,10 @@ def _call_round_kernel(kernel, src, *, tile, interpret, **kw):
         partial(kernel, tile=tile, **kw),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((out_rows, wp), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
-        # The plane is aliased in-place (kernels write only changed bands;
-        # unchanged bands' rows are already correct in the donated buffer).
-        input_output_aliases={0: 0},
+        input_output_aliases={0: 0} if alias else {},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024
         ),
@@ -263,10 +291,12 @@ def _component_min_pallas(labels, h, w, tile, interpret):
     def body(state):
         lab, _ = state
         y, _ = _call_round_kernel(
-            _fwd_v_kernel, lab, tile=tile, interpret=interpret, real_w=w
+            _fwd_v_kernel, lab, tile=tile, interpret=interpret,
+            col_lo=0, col_hi=w - 1,
         )
         out, c2 = _call_round_kernel(
-            _bwd_vh_kernel, y, tile=tile, interpret=interpret, real_h=h, real_w=w
+            _bwd_vh_kernel, y, tile=tile, interpret=interpret,
+            real_h=h, col_lo=0, col_hi=w - 1,
         )
         # Pass 2 being INTERNALLY clean certifies the fixed point even when
         # pass 1 changed things: y = fwd(x) is non-increasing within every
@@ -281,6 +311,59 @@ def _component_min_pallas(labels, h, w, tile, interpret):
 
     out, _ = jax.lax.while_loop(lambda s: s[1], body, (lab0, jnp.bool_(True)))
     return jax.lax.slice(out, (0, 0), (h, w))
+
+
+def component_min_from_padded(
+    lab_pad, *, p: int, h: int, w: int, tile: int, interpret: bool = False
+):
+    """Component-min labels straight from the relax engine's padded label
+    plane — the merging variant's final-label tail with ZERO extraction
+    passes.
+
+    ``lab_pad`` is the (h2 + 2p, wp) plane from ops.pallas_relax's fixed
+    point, real data at rows [p, p+h), cols [p, p+w); ``tile`` is the relax
+    band height (which divides h2 by construction).  Preconditions supplied
+    by the relax kernel: the claimed-ness gate pins every unclaimed cell
+    (aprons, lane padding, NEVER_FILL, borders) at 0, so out-of-domain cells
+    are scan barriers without any masking, and this is only valid at full
+    depth (max_water_level == NORMAL_MAX) where no claim needs masking.
+
+    The fused first pass reads rows [p, p + h2) (trailing apron rows are
+    zero barriers) via row-offset DMA and emits a fresh (h2, wp) plane;
+    every later pass runs in-place on that plane.  Cropping happens once at
+    the end.  Bit-identical to component_min_labels(labels) on the sliced
+    plane (pinned by tests).
+    """
+    hp_src, wp = lab_pad.shape
+    h2 = hp_src - 2 * p
+    if h2 % tile:
+        raise ValueError(f"relax tile {tile} must divide padded height {h2}")
+    col_lo, col_hi = p, p + w - 1
+
+    y0, _ = _call_round_kernel(
+        _fwd_v_kernel, lab_pad, tile=tile, interpret=interpret,
+        out_rows=h2, col_lo=col_lo, col_hi=col_hi, row_off=p, always_write=True,
+    )
+
+    def body(state):
+        y, _ = state
+        out, c2 = _call_round_kernel(
+            _bwd_vh_kernel, y, tile=tile, interpret=interpret,
+            real_h=h, col_lo=col_lo, col_hi=col_hi,
+        )
+        y2 = jax.lax.cond(
+            c2,
+            lambda o: _call_round_kernel(
+                _fwd_v_kernel, o, tile=tile, interpret=interpret,
+                col_lo=col_lo, col_hi=col_hi,
+            )[0],
+            lambda o: o,
+            out,
+        )
+        return y2, c2
+
+    out, _ = jax.lax.while_loop(lambda s: s[1], body, (y0, jnp.bool_(True)))
+    return jax.lax.slice(out, (0, p), (h, p + w))
 
 
 def _vscan_jnp(lab):

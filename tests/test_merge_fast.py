@@ -138,3 +138,26 @@ def test_merging_transform_to_list_public_api(rng):
     for (la, ca), (lb, cb) in zip(a, b):
         assert la == lb
         np.testing.assert_array_equal(ca, cb)
+
+
+def test_component_min_from_padded_matches_plain(rng):
+    """The fused padded-plane merging tail (relax_packed_planes ->
+    component_min_from_padded, no extraction pass) must bit-match both the
+    plain scan path and the level-sweep merging driver at full depth."""
+    import jax.numpy as jnp
+
+    from rustronomy_watershed_tpu.ops import paint_seeds, run_levels
+
+    img = rng.integers(0, 254, size=(40, 56)).astype(np.uint8)
+    seeds = [(3, 3), (30, 50), (17, 22), (38, 5), (1, 54), (20, 33)]
+    lab0 = paint_seeds(img.shape, seeds)
+    want = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=6, max_water_level=254,
+                   merging=True, backend="jnp")
+    )
+    got = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=6, max_water_level=254,
+                   merging=True, backend="relax_pallas", tile=16, steps=8,
+                   interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
