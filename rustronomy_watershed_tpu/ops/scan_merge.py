@@ -45,36 +45,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INF = 2**30
+_INF = 2**29  # > any label (buckets cap at 2^23); < the packed flag bit
+_FLAG = 1 << 30
 
 
 def _seg_min_scan(v, b, axis, size, reverse, idx):
     """Inclusive segmented min scan by operator doubling.
 
-    ``v``: value plane; ``b``: reset-flag plane as int32 {0,1} (Mosaic can
-    only rotate 32-bit vectors); ``idx``: iota along ``axis``.
-    combine(cur, prev) = (cur.b ? cur.v : min(cur.v, prev.v), cur.b | prev.b)
-    applied with strides 1, 2, 4, ... — log2(size) roll+select steps, all
-    cheap vector ops (sublane rolls for the vertical pass, lane rolls for
-    the horizontal one — no transposes).
+    ``v``: value plane (< 2^29 — labels or _INF); ``b``: reset-flag plane as
+    int32 {0,1} (Mosaic can only rotate 32-bit vectors); ``idx``: iota along
+    ``axis``.  combine(cur, prev) = (cur.b ? cur.v : min(cur.v, prev.v),
+    cur.b | prev.b) applied with strides 1, 2, 4, ...
+
+    The (v, b) pair rides ONE int32 with the flag at bit 30
+    (``t = v + b * FLAG``), so every doubling step needs a single roll
+    instead of two — the rolls (lane-dim rolls especially, for the
+    horizontal scans) dominate the pass compute.  The packed combine
+    ``cur.b ? cur : min(cur.v, prev.v) | prev.flag`` is exact: a flagged
+    cur sorts above FLAG and passes through unchanged (its run already
+    restarted), otherwise prev's flag is inherited and values min.
     """
-    inf = jnp.int32(_INF)
+    mask = jnp.int32(_FLAG - 1)
+    flag = jnp.int32(_FLAG)
+    ident = jnp.int32(_INF)  # (v=INF, b=0)
+    t = v + b * flag
     s = 1
     while s < size:
         if reverse:
-            pv = pltpu.roll(v, size - s, axis)
-            pb = pltpu.roll(b, size - s, axis)
+            pt = pltpu.roll(t, size - s, axis)
             take = idx < size - s
         else:
-            pv = pltpu.roll(v, s, axis)
-            pb = pltpu.roll(b, s, axis)
+            pt = pltpu.roll(t, s, axis)
             take = idx >= s
-        pv = jnp.where(take, pv, inf)
-        pb = jnp.where(take, pb, 0)
-        v = jnp.where(b != 0, v, jnp.minimum(v, pv))
-        b = b | pb
+        pt = jnp.where(take, pt, ident)
+        combined = jnp.minimum(t & mask, pt & mask) | (pt & flag)
+        t = jnp.where(t >= flag, t, combined)
         s *= 2
-    return v, b
+    return t & mask, (t >= flag).astype(jnp.int32)
 
 
 def _fwd_v_kernel(
@@ -84,6 +91,7 @@ def _fwd_v_kernel(
     win,
     yst,
     carry,
+    edge,  # unused here; scratch list is shared with _bwd_vh_kernel
     sems,
     *,
     tile,
@@ -160,11 +168,32 @@ def _fwd_v_kernel(
 
 
 def _bwd_vh_kernel(
-    y_hbm, out_hbm, chg_ref, win, ost, carry, sems, *, tile, real_h, col_lo, col_hi
+    y_hbm,
+    out_hbm,
+    chg_ref,
+    win,
+    ost,
+    carry,
+    edge,
+    sems,
+    *,
+    tile,
+    real_h,
+    col_lo,
+    col_hi,
 ):
     """Pass 2 of a round (reversed band order): backward vertical scan (the
     run-min is bwd(fwd(x))), then BOTH horizontal scans in-band via lane
-    doubling, then the border-row restore — no transposes anywhere."""
+    doubling, then the border-row restore — no transposes anywhere.
+
+    ``chg_ref`` reports VIOLATIONS of the fixed point, not changes: the
+    component-min state is reached iff no unblocked claimed-adjacent pair
+    has differing labels (labels only copy/min-propagate, so a component's
+    minimum can never be lost — a violation-free state is constant-per-
+    component at exactly the min).  Checking that is a 2-roll stencil on
+    the pass output (plus the cross-band boundary row via the ``edge``
+    scratch, fed in reversed band order), so the driver needs NO spare
+    certify round: the loop stops on the first violation-free pass."""
     j = pl.program_id(0)
     gy = pl.num_programs(0)
     i = gy - 1 - j  # bands bottom-up
@@ -182,6 +211,7 @@ def _bwd_vh_kernel(
     def _():
         chg_ref[0, 0] = 0
         carry[...] = jnp.full_like(carry, inf)
+        edge[...] = jnp.zeros_like(edge)  # no band below the last
         dma_in(slot, i).start()
 
     @pl.when(j + 1 < gy)
@@ -212,7 +242,44 @@ def _bwd_vh_kernel(
     grow = rr + i * tile
     out = jnp.where((grow == 0) | (grow == real_h - 1), z, out)
     band_chg = jnp.any(out != y)
-    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], band_chg.astype(jnp.int32))
+
+    # Fixed-point violation stencil (see docstring).  Vertical pairs skip
+    # the blocked border columns; horizontal pairs skip the blocked border
+    # rows and the col-0 wraparound.  The cross-band pair compares this
+    # band's LAST row with the band below's first row (held in `edge` —
+    # bands run bottom-up, so it was stored by the previous program).
+    claimed = out > 0
+    rolled_v = pltpu.roll(out, 1, 0)
+    mm_v = (
+        (out != rolled_v)
+        & claimed
+        & (rolled_v > 0)
+        & (rr >= 1)
+        & (cc != col_lo)
+        & (cc != col_hi)
+    )
+    rolled_h = pltpu.roll(out, 1, 1)
+    mm_h = (
+        (out != rolled_h)
+        & claimed
+        & (rolled_h > 0)
+        & (cc >= 1)
+        & (grow != 0)
+        & (grow != real_h - 1)
+    )
+    below = edge[...]
+    last = jnp.where(rr == tile - 1, out, 0)
+    below_b = jnp.where(rr == tile - 1, below, 0)
+    mm_b = (
+        (last != below_b)
+        & (last > 0)
+        & (below_b > 0)
+        & (cc != col_lo)
+        & (cc != col_hi)
+    )
+    viol = jnp.any(mm_v) | jnp.any(mm_h) | jnp.any(mm_b)
+    edge[...] = out[0:1, :]
+    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], viol.astype(jnp.int32))
 
     # In-place aliased output; skip unchanged bands (see _fwd_v_kernel).
     @pl.when(band_chg)
@@ -255,6 +322,7 @@ def _call_round_kernel(kernel, src, *, tile, interpret, out_rows=None, **kw):
             pltpu.VMEM((2, tile, wp), jnp.int32),
             pltpu.VMEM((tile, wp), jnp.int32),
             pltpu.VMEM((1, wp), jnp.int32),
+            pltpu.VMEM((1, wp), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -294,20 +362,15 @@ def _component_min_pallas(labels, h, w, tile, interpret):
             _fwd_v_kernel, lab, tile=tile, interpret=interpret,
             col_lo=0, col_hi=w - 1,
         )
-        out, c2 = _call_round_kernel(
+        out, viol = _call_round_kernel(
             _bwd_vh_kernel, y, tile=tile, interpret=interpret,
             real_h=h, col_lo=0, col_hi=w - 1,
         )
-        # Pass 2 being INTERNALLY clean certifies the fixed point even when
-        # pass 1 changed things: y = fwd(x) is non-increasing within every
-        # vertical run (prefix-min), so bwd(y) == y forces y constant within
-        # each run — i.e. the exact vertical run-min, hence fwd(y) == y too;
-        # clean h-scans then pin the horizontal direction, and a state
-        # stable under all four directional scans (with border restores,
-        # which both flags include) is the unique component-min fixed point.
-        # Saves one full (2-pass) certify round whenever the last effective
-        # changes came from the forward-vertical pass alone.
-        return out, c2
+        # Pass 2 reports fixed-point VIOLATIONS (unblocked claimed-adjacent
+        # pairs with differing labels — see the kernel docstring), so the
+        # loop stops on the first violation-free state with NO spare
+        # certify round, even when this round changed plenty.
+        return out, viol
 
     out, _ = jax.lax.while_loop(lambda s: s[1], body, (lab0, jnp.bool_(True)))
     return jax.lax.slice(out, (0, 0), (h, w))
@@ -347,12 +410,15 @@ def component_min_from_padded(
 
     def body(state):
         y, _ = state
-        out, c2 = _call_round_kernel(
+        out, viol = _call_round_kernel(
             _bwd_vh_kernel, y, tile=tile, interpret=interpret,
             real_h=h, col_lo=col_lo, col_hi=col_hi,
         )
+        # viol == False is the full fixed-point certificate (violation
+        # stencil in the kernel), so the next round's forward pass only
+        # runs when actually needed.
         y2 = jax.lax.cond(
-            c2,
+            viol,
             lambda o: _call_round_kernel(
                 _fwd_v_kernel, o, tile=tile, interpret=interpret,
                 col_lo=col_lo, col_hi=col_hi,
@@ -360,7 +426,7 @@ def component_min_from_padded(
             lambda o: o,
             out,
         )
-        return y2, c2
+        return y2, viol
 
     out, _ = jax.lax.while_loop(lambda s: s[1], body, (y0, jnp.bool_(True)))
     return jax.lax.slice(out, (0, p), (h, p + w))

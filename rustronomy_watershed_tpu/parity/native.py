@@ -20,9 +20,12 @@ _LIB = None
 
 
 def _build() -> str:
+    # NOT named after the package: a directory called
+    # "rustronomy_watershed_tpu" under /tmp shadows the real package as a
+    # namespace package for any script run from /tmp (bitten in round 4).
     cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.join(tempfile.gettempdir())),
-        "rustronomy_watershed_tpu",
+        "rwt-native-oracle",
     )
     os.makedirs(cache_dir, exist_ok=True)
     src_mtime = int(os.path.getmtime(_SRC))

@@ -161,3 +161,36 @@ def test_component_min_from_padded_matches_plain(rng):
                    interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_component_min_spiral_needs_multiple_rounds(rng):
+    """A serpentine component with high staircase complexity: the scan loop
+    must NOT exit before the true component-min fixed point (exercises the
+    violation-stencil witness across several rounds and band boundaries)."""
+    import jax.numpy as jnp
+
+    from rustronomy_watershed_tpu.ops.merge import merge_touching
+    from rustronomy_watershed_tpu.ops.scan_merge import component_min_labels
+
+    h = w = 48
+    lab = np.zeros((h, w), np.int32)
+    # serpentine corridor: rows 2,4,6,... filled, connected alternately at
+    # the left/right ends; distinct labels along the way, min deep inside.
+    nxt = 1000
+    for r in range(2, h - 2, 2):
+        lab[r, 2:-2] = nxt
+        nxt += 7
+        if r + 2 < h - 2:
+            col = 2 if (r // 2) % 2 == 0 else w - 3
+            lab[r + 1, col] = nxt
+            nxt += 3
+    lab[h - 4, w // 2] = 5  # the minimum, far (in scan rounds) from the ends
+    want = np.asarray(merge_touching(jnp.asarray(lab), int(lab.max())))
+    for use_pallas in (False, True):
+        got = np.asarray(
+            component_min_labels(
+                jnp.asarray(lab), use_pallas=use_pallas, interpret=use_pallas,
+                tile=8,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"pallas={use_pallas}")
