@@ -69,6 +69,22 @@ def _label_bucket(n_seeds: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _expand_rows(
+    sizes: np.ndarray, counts_length: int, max_water_level: int
+) -> list[tuple[int, np.ndarray]]:
+    """[(level, counts-row)] with reference-length rows (src/lib.rs:630).
+
+    One vectorised (levels, counts_length) allocation + block copy instead
+    of a per-level zeros/copy loop: at 1024² the reference-length default is
+    255 x (n_pixels+1) int64 ≈ 2 GB of rows, and the loop dominated the
+    whole entry point.  Each returned row is a view of the block."""
+    levels = max_water_level + 1
+    out = np.zeros((levels, counts_length), dtype=np.int64)
+    k = min(sizes.shape[1], counts_length)
+    out[:, :k] = sizes[:levels, :k]
+    return list(enumerate(out))
+
+
 class WatershedUtils:
     """Image-preparation helpers (src/lib.rs:1069-1201)."""
 
@@ -400,13 +416,7 @@ class _WatershedBase(WatershedUtils):
                         * (np.asarray(input_img).shape[1] + 2)
                     )
                 counts_length = n_px + 1
-            out = []
-            for lvl in range(self.max_water_level + 1):
-                row = np.zeros(counts_length, dtype=np.int64)
-                k = min(sizes.shape[1], counts_length)
-                row[:k] = sizes[lvl, :k]
-                out.append((lvl, row))
-            return out
+            return _expand_rows(sizes, counts_length, self.max_water_level)
         if self._needs_host_loop():
             # The reference implements transform_to_list as
             # clone_with_hook(find_lake_sizes) (src/lib.rs:1551-1561); the
@@ -469,13 +479,7 @@ class _WatershedBase(WatershedUtils):
         sizes = np.asarray(sizes)
         if counts_length is None:
             counts_length = int(np.prod(img.shape)) + 1
-        out = []
-        for lvl in range(self.max_water_level + 1):
-            row = np.zeros(counts_length, dtype=np.int64)
-            k = min(bucket + 1, counts_length)
-            row[:k] = sizes[lvl, :k]
-            out.append((lvl, row))
-        return out
+        return _expand_rows(sizes, counts_length, self.max_water_level)
 
     def transform_history(self, input_img, seeds) -> list[tuple[int, np.ndarray]]:
         """Per-level label snapshots (src/lib.rs:1233-1237); memory-heavy:

@@ -548,3 +548,32 @@ def test_batch_edge_correction_matches_per_image(rng, use_mesh):
     for i in range(2):
         want = np.asarray(single.transform(imgs[i], seeds_list[i]))
         np.testing.assert_array_equal(np.asarray(batched[i]), want)
+
+
+def test_checkpoint_resume_on_mesh(tmp_path, rng):
+    """Checkpoint/resume through the mesh-driven host-stepped loop: snapshots
+    store the cropped domain and resume re-embeds it in the mesh-padded
+    plane (MeshLevelStepper.prepare)."""
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 10, size=(21, 19)).astype(np.uint8)  # non-divisible
+    mesh = make_mesh(8)
+    base = (TransformBuilder.default().set_max_water_lvl(9)
+            .build_segmenting())
+    seeds = base.find_local_minima(img) or [(4, 4)]
+    full = np.asarray(base.transform(img, seeds))
+
+    ws = (TransformBuilder.default().set_max_water_lvl(5).set_mesh(mesh)
+          .set_checkpoint(tmp_path, every=3)
+          .set_wlvl_hook(lambda ctx: ctx.water_level).build_segmenting())
+    assert ws.transform_with_hook(img, seeds) == list(range(6))
+
+    hook_levels = []
+    ws2 = (TransformBuilder.default().set_max_water_lvl(9).set_mesh(mesh)
+           .set_checkpoint(tmp_path, every=3)
+           .set_wlvl_hook(
+               lambda ctx: hook_levels.append(ctx.water_level) or ctx.colours.copy()
+           ).build_segmenting())
+    out2 = ws2.transform_with_hook(img, seeds)
+    assert hook_levels[0] == 4
+    np.testing.assert_array_equal(out2[-1], full)
