@@ -70,10 +70,13 @@ def main():
     steps = int(steps_env) if steps_env else None
 
     # Hardware parity gate: every bench run first re-certifies the chip with
-    # chip_selftest checks 1-2 (seed numbering + fused pack vs host NumPy at
-    # 512² — the bf16-truncation hazard class that CPU CI provably cannot
-    # catch).  Opt out with BENCH_SELFTEST=0.  Logs ride stderr so stdout
-    # stays the single JSON line the driver parses.
+    # chip_selftest checks 1-2 (seed numbering + fused pack vs host NumPy).
+    # The probe MUST run at >= 2048²: the bf16-truncation hazard class this
+    # certifies only manifests once blocked row totals exceed 256 (PARITY.md
+    # "Platform hazard log") — a smaller probe stays green across exactly
+    # the regression it exists to catch.  Opt out with BENCH_SELFTEST=0.
+    # Logs ride stderr so stdout stays the single JSON line the driver
+    # parses.
     log = lambda msg: print(f"selftest: {msg}", file=sys.stderr)  # noqa: E731
     if os.environ.get("BENCH_SELFTEST", "1") == "0":
         log("skipped (BENCH_SELFTEST=0)")
@@ -83,7 +86,7 @@ def main():
         from tools.chip_selftest import numbering_and_pack_checks
 
         if not numbering_and_pack_checks(
-            np.random.default_rng(12345), 512, log=log
+            np.random.default_rng(12345), 2048, log=log
         ):
             print(
                 "selftest: HARDWARE PARITY FAILURE — refusing to time",

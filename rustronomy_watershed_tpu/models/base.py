@@ -77,11 +77,19 @@ def _expand_rows(
     One vectorised (levels, counts_length) allocation + block copy instead
     of a per-level zeros/copy loop: at 1024² the reference-length default is
     255 x (n_pixels+1) int64 ≈ 2 GB of rows, and the loop dominated the
-    whole entry point.  Each returned row is a view of the block."""
+    whole entry point.
+
+    Small results (< ~64 MB) are returned as independent per-row copies;
+    huge reference-length blocks stay views of one base array (copying
+    would double the 2 GB) — a caller retaining a single huge row keeps
+    the base alive, which is the documented trade for the 2x-faster
+    default path."""
     levels = max_water_level + 1
     out = np.zeros((levels, counts_length), dtype=np.int64)
     k = min(sizes.shape[1], counts_length)
     out[:, :k] = sizes[:levels, :k]
+    if out.nbytes < 64 * 1024 * 1024:
+        return [(lvl, out[lvl].copy()) for lvl in range(levels)]
     return list(enumerate(out))
 
 

@@ -392,6 +392,33 @@ def _local_relax_pallas_driver(
     )
 
 
+def _tiled_flood_fixed_point(
+    img_p, lab, lvl, *, halo, paint_mask, axis_y, axis_x, control_axes
+):
+    """Flood one water level to the mesh-global fixed point: per round,
+    exchange a halo-px label halo over ICI, run ``halo`` local Jacobi
+    sweeps (bit-identical to halo global sweeps), psum the change flag.
+    Returns (labels, rounds) — shared by the whole-transform driver and
+    the per-level observability step so their semantics can never drift."""
+
+    def body(state):
+        lab, _, n = state
+        lab_p = exchange_halo(lab, halo, axis_y, axis_x, off_grid_fill=UNCOLOURED)
+        lab_p = lax.fori_loop(
+            0, halo, lambda i, lp: flood_sweep(img_p, lp, lvl, paint_mask), lab_p
+        )
+        new = lab_p[..., halo:-halo, halo:-halo]
+        changed = (
+            lax.psum(jnp.any(new != lab).astype(jnp.int32), control_axes) > 0
+        )
+        return new, changed, n + 1
+
+    lab, _, rounds = lax.while_loop(
+        lambda s: s[1], body, (lab, jnp.bool_(True), jnp.int32(0))
+    )
+    return lab, rounds
+
+
 def _local_level_driver(
     img_tile,
     lab_tile,
@@ -427,27 +454,11 @@ def _local_level_driver(
     # (reduced over ALL axes: the skip decision must be mesh-uniform).
     vhist = lax.psum(_batched_bincount(img_tile, 256), control_axes)
 
-    def flood_fixed_point(lab, lvl):
-        def cond(state):
-            return state[1]
-
-        def body(state):
-            lab, _ = state
-            lab_p = exchange_halo(lab, halo, axis_y, axis_x, off_grid_fill=UNCOLOURED)
-            lab_p = lax.fori_loop(
-                0, halo, lambda i, lp: flood_sweep(img_p, lp, lvl, paint_mask), lab_p
-            )
-            new = lab_p[..., halo:-halo, halo:-halo]
-            changed = (
-                lax.psum(jnp.any(new != lab).astype(jnp.int32), control_axes) > 0
-            )
-            return new, changed
-
-        lab, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True)))
-        return lab
-
     def step(lab, lvl):
-        lab = flood_fixed_point(lab, lvl)
+        lab, _ = _tiled_flood_fixed_point(
+            img_p, lab, lvl, halo=halo, paint_mask=paint_mask,
+            axis_y=axis_y, axis_x=axis_x, control_axes=control_axes,
+        )
         if merging:
             lab = _merge_fixed_point(
                 lab,
@@ -703,20 +714,9 @@ def _local_level_step(
     img_p = exchange_halo(img_tile, halo, axis_y, axis_x, off_grid_fill=NEVER_FILL)
     paint_mask = global_interior_mask((h, w), global_shape, halo, axis_y, axis_x)
 
-    def body(state):
-        lab, _, n = state
-        lab_p = exchange_halo(lab, halo, axis_y, axis_x, off_grid_fill=UNCOLOURED)
-        lab_p = lax.fori_loop(
-            0, halo, lambda i, lp: flood_sweep(img_p, lp, lvl, paint_mask), lab_p
-        )
-        new = lab_p[..., halo:-halo, halo:-halo]
-        changed = (
-            lax.psum(jnp.any(new != lab).astype(jnp.int32), control_axes) > 0
-        )
-        return new, changed, n + 1
-
-    lab, _, rounds = lax.while_loop(
-        lambda s: s[1], body, (lab_tile, jnp.bool_(True), jnp.int32(0))
+    lab, rounds = _tiled_flood_fixed_point(
+        img_p, lab_tile, lvl, halo=halo, paint_mask=paint_mask,
+        axis_y=axis_y, axis_x=axis_x, control_axes=control_axes,
     )
     if merging:
         merge_mask = global_interior_mask((h, w), global_shape, 1, axis_y, axis_x)

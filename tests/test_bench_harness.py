@@ -11,18 +11,12 @@ import sys
 
 def test_bench_runs_on_cpu():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
+    import __graft_entry__
+
+    # Genuinely pin CPU (JAX_PLATFORMS=cpu alone is overridden by the
+    # ambient axon sitecustomize) — single source of truth for the recipe.
+    env = __graft_entry__.strip_axon_env(os.environ)
     env.pop("RWT_AXON_BOOTED", None)
-    # Genuinely pin CPU: JAX_PLATFORMS=cpu alone is overridden by the ambient
-    # axon sitecustomize (it force-registers the TPU backend whenever
-    # PALLAS_AXON_POOL_IPS is set) — strip its triggers like __graft_entry__.
-    for var in [k for k in env if "AXON" in k.upper()]:
-        env.pop(var, None)
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon" not in p
-    )
-    env["JAX_PLATFORMS"] = "cpu"
     env["BENCH_SIZE"] = "96"
     env["BENCH_LEVELS"] = "31"
     env["BENCH_INNER"] = "2"

@@ -51,6 +51,7 @@ def numbering_and_pack_checks(rng, size, log=print):
         local_extrema_mask,
         seed_labels_from_mask,
     )
+    from rustronomy_watershed_tpu.ops.tune import relax_steps
 
     ok = True
     img_np = rng.integers(0, 255, size=(size, size)).astype(np.uint8)
@@ -67,9 +68,12 @@ def numbering_and_pack_checks(rng, size, log=print):
         log=log,
     )
 
-    tile = auto_tile(size)
-    v0, k0, l0 = jax.jit(partial(pack_domain, tile=tile, steps=16))(img, truth)
-    v1, k1, l1, n = jax.jit(partial(pack_domain_fused, tile=tile, steps=16))(img)
+    # The certified program must be the production geometry: the tuned
+    # steps schedule (ops.tune), not a hard-coded one.
+    steps = relax_steps(size)
+    tile = auto_tile(size, steps)
+    v0, k0, l0 = jax.jit(partial(pack_domain, tile=tile, steps=steps))(img, truth)
+    v1, k1, l1, n = jax.jit(partial(pack_domain_fused, tile=tile, steps=steps))(img)
     ok &= check(
         f"fused pack kernel vs jnp pack @ {size}²",
         all(
