@@ -233,3 +233,16 @@ def test_relax_pallas_d_field_saturates_instead_of_carrying():
     levels = key2[claimed] >> _D_BITS
     assert (levels == lvl).all(), f"level field corrupted: {set(levels)}"
     assert (key2[claimed] & _D_MASK == _D_MASK).all()  # pinned at d max
+
+
+def test_tune_relax_steps_resolution(monkeypatch):
+    from rustronomy_watershed_tpu.ops.tune import relax_steps
+
+    assert relax_steps(4096) == 32
+    assert relax_steps(4097) == 32   # next bucket (8192)
+    assert relax_steps(100) == 32    # below the table -> nearest bucket
+    assert relax_steps(1 << 20) == 32  # above the table -> nearest bucket
+    monkeypatch.setenv("RWT_RELAX_STEPS", "20")
+    assert relax_steps(4096) == 16   # env override, rounded down to 8-mult
+    monkeypatch.setenv("RWT_RELAX_STEPS", "4")
+    assert relax_steps(4096) == 8    # floor at the DMA granularity
