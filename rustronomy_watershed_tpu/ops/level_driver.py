@@ -171,6 +171,13 @@ def run_levels_impl(
         # public ``transform_to_list`` uses the much faster merge_curve path
         # (one relax pass + host Kruskal) — this on-device fallback exists
         # for direct run_levels callers, who may not pass host-side work.
+        if labels0 is None:
+            # "seeds from the image" is a relax_pallas-only input form;
+            # derive the same labels the fused pack kernel would (row-major
+            # numbering of the extrema mask) so the fallback stays seamless.
+            from .seeds import local_extrema_mask, seed_labels_from_mask
+
+            labels0 = seed_labels_from_mask(local_extrema_mask(img))
         backend = "pallas" if backend == "relax_pallas" else "jnp"
         tile = steps = None  # relax tuning does not apply to the flood kernel
 

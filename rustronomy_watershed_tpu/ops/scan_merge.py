@@ -343,10 +343,18 @@ def _call_round_kernel(kernel, src, *, tile, interpret, out_rows=None, **kw):
 
 
 def _component_min_pallas(labels, h, w, tile, interpret):
-    """Fixed point of the fused rounds (full v+h rounds; convergence on a
-    round in which neither pass changed anything.  NB a clean fwd-vertical
-    pass alone does NOT certify — fwd-clean != run-min-clean, e.g. a column
-    [5, 3] is fwd-stable but bwd lowers row 0)."""
+    """Fixed point of the fused scan rounds.
+
+    Convergence witness: pass 2 (_bwd_vh_kernel) reports fixed-point
+    VIOLATIONS — unblocked claimed-adjacent pairs with differing labels.
+    Labels only copy/min-propagate, so a component's minimum is never
+    lost: a violation-free state is constant-per-component at exactly the
+    min, i.e. the unique fixed point.  The loop therefore stops on the
+    first violation-free pass-2 output (no spare certify round), and the
+    next round's forward pass runs only when a violation was seen.  NB a
+    clean fwd-vertical CHANGE flag alone would NOT certify (fwd-clean !=
+    run-min-clean: a column [5, 3] is fwd-stable but bwd lowers row 0) —
+    which is why the witness is the violation stencil, not change flags."""
     wp = -(-w // 128) * 128
     tile = tile or _round_tile(wp)
     hp = -(-h // tile) * tile
@@ -356,23 +364,29 @@ def _component_min_pallas(labels, h, w, tile, interpret):
     else:
         lab0 = labels
 
+    y0, _ = _call_round_kernel(
+        _fwd_v_kernel, lab0, tile=tile, interpret=interpret,
+        col_lo=0, col_hi=w - 1,
+    )
+
     def body(state):
-        lab, _ = state
-        y, _ = _call_round_kernel(
-            _fwd_v_kernel, lab, tile=tile, interpret=interpret,
-            col_lo=0, col_hi=w - 1,
-        )
+        y, _ = state
         out, viol = _call_round_kernel(
             _bwd_vh_kernel, y, tile=tile, interpret=interpret,
             real_h=h, col_lo=0, col_hi=w - 1,
         )
-        # Pass 2 reports fixed-point VIOLATIONS (unblocked claimed-adjacent
-        # pairs with differing labels — see the kernel docstring), so the
-        # loop stops on the first violation-free state with NO spare
-        # certify round, even when this round changed plenty.
-        return out, viol
+        y2 = jax.lax.cond(
+            viol,
+            lambda o: _call_round_kernel(
+                _fwd_v_kernel, o, tile=tile, interpret=interpret,
+                col_lo=0, col_hi=w - 1,
+            )[0],
+            lambda o: o,
+            out,
+        )
+        return y2, viol
 
-    out, _ = jax.lax.while_loop(lambda s: s[1], body, (lab0, jnp.bool_(True)))
+    out, _ = jax.lax.while_loop(lambda s: s[1], body, (y0, jnp.bool_(True)))
     return jax.lax.slice(out, (0, 0), (h, w))
 
 

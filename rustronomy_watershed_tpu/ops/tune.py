@@ -42,7 +42,10 @@ def relax_steps(width: int) -> int:
     """Tuned fused-sweep count for this image width."""
     env = os.environ.get("RWT_RELAX_STEPS")
     if env:
-        return max(_MIN_STEPS, (int(env) // 8) * 8)
+        # Round UP to the Mosaic DMA granularity (same convention as the
+        # tiled halo's _round_up8) so the override is never silently weaker
+        # than requested.
+        return max(_MIN_STEPS, -(-int(env) // 8) * 8)
     bucket = 1 << max(0, (width - 1).bit_length())
     if bucket in RELAX_STEPS_TABLE:
         return RELAX_STEPS_TABLE[bucket]

@@ -771,23 +771,34 @@ class MeshLevelStepper:
         )
 
     def prepare(self, img, labels0):
-        """(padded device img, padded device labels); records the crop."""
+        """(padded device img, padded device labels); records the crop.
+
+        Re-preparing with the SAME domain shape (e.g. a checkpoint resume)
+        reuses the compiled step — a fresh jax.jit would recompile an
+        identical program, which costs 30-90 s per program on tunnelled dev
+        platforms with no cross-object compilation-cache hits."""
+        from .._compat import cache_resilient
+
         img = jnp.asarray(img)[None]
         labels0 = jnp.asarray(labels0, dtype=jnp.int32)[None]
-        self._shape = img.shape[1:]
+        shape = img.shape[1:]
         img2, lab2 = _mesh_pad(img, labels0, self.ny, self.nx)
-        spec = P(None, self.axis_y, self.axis_x)
-        self._step = jax.jit(
-            jax.shard_map(
-                partial(
-                    _local_level_step, global_shape=self._shape, **self._kw
-                ),
-                mesh=self.mesh,
-                in_specs=(spec, spec, P()),
-                out_specs=(spec, P()),
-                check_vma=False,
+        if self._step is None or shape != self._shape:
+            self._shape = shape
+            spec = P(None, self.axis_y, self.axis_x)
+            self._step = cache_resilient(
+                jax.jit(
+                    jax.shard_map(
+                        partial(
+                            _local_level_step, global_shape=shape, **self._kw
+                        ),
+                        mesh=self.mesh,
+                        in_specs=(spec, spec, P()),
+                        out_specs=(spec, P()),
+                        check_vma=False,
+                    )
+                )
             )
-        )
         return img2, lab2
 
     def step(self, img, labels, lvl):

@@ -243,6 +243,32 @@ def test_tune_relax_steps_resolution(monkeypatch):
     assert relax_steps(100) == 32    # below the table -> nearest bucket
     assert relax_steps(1 << 20) == 32  # above the table -> nearest bucket
     monkeypatch.setenv("RWT_RELAX_STEPS", "20")
-    assert relax_steps(4096) == 16   # env override, rounded down to 8-mult
+    assert relax_steps(4096) == 24   # env override, rounded UP to 8-mult
     monkeypatch.setenv("RWT_RELAX_STEPS", "4")
     assert relax_steps(4096) == 8    # floor at the DMA granularity
+
+
+def test_merging_per_level_collect_fallback_with_image_seeds(rng):
+    """labels0=None (seeds-from-image) + merging + per-level collect: the
+    sweep fallback derives the same row-major seed numbering the fused pack
+    kernel would (r4 review finding: this combo used to crash opaquely)."""
+    import jax.numpy as jnp
+
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    img = rng.integers(0, 9, size=(20, 20)).astype(np.uint8)
+    lab0 = seed_labels_from_mask(local_extrema_mask(jnp.asarray(img)))
+    k = int(np.asarray(lab0).max())
+    want_lab, want_sizes = run_levels(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=6,
+        merging=True, backend="jnp", collect="sizes",
+    )
+    lab, sizes = run_levels(
+        jnp.asarray(img), None, n_labels=k, max_water_level=6,
+        merging=True, backend="relax_pallas", collect="sizes", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(want_lab))
+    np.testing.assert_array_equal(np.asarray(sizes), np.asarray(want_sizes))
