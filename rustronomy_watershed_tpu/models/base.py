@@ -446,7 +446,45 @@ class _WatershedBase(WatershedUtils):
             )
         img, labels0 = self._prepare(input_img, seeds)
         bucket = _label_bucket(len(seeds))
-        if self.mesh is not None:
+        if self.mesh is not None and self._merging:
+            # Merging curves on a mesh: ONE tiled relax pass exposes the
+            # (labels, claim levels) planes (collect='claims'); the host
+            # rebuilds the per-level merged histograms exactly like the
+            # single-device merge_curve path (edges + Kruskal) — instead of
+            # replaying 255 per-level sweep rounds over ICI.
+            from ..ops.merge_curve import (
+                clip_levels_u8,
+                host_cumulative_counts,
+                merge_edges,
+                merged_sizes_host,
+            )
+            from ..parallel.tiled import tiled_transform
+
+            labels, L = tiled_transform(
+                img,
+                labels0,
+                self.mesh,
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                merging=False,
+                collect="claims",
+            )
+            lo, hi, act, n = merge_edges(
+                labels, L, max_water_level=self.max_water_level
+            )
+            n = int(n)
+            cum = host_cumulative_counts(
+                np.asarray(labels),
+                np.asarray(
+                    clip_levels_u8(L, max_water_level=self.max_water_level)
+                ),
+                bucket,
+                self.max_water_level,
+            )
+            sizes = merged_sizes_host(
+                cum, np.asarray(lo[:n]), np.asarray(hi[:n]), np.asarray(act[:n])
+            )
+        elif self.mesh is not None:
             from ..parallel.tiled import tiled_transform
 
             _, sizes = tiled_transform(

@@ -96,6 +96,17 @@ merge_edges = cache_resilient(
 )
 
 
+def _clip_levels_u8_impl(L, *, max_water_level: int):
+    """Claim levels clipped to the level range as uint8 (lossless: levels
+    <= 255 and the clip reserves max+1 for never-claimed pixels)."""
+    return jnp.clip(L, 0, max_water_level + 1).astype(jnp.uint8)
+
+
+clip_levels_u8 = cache_resilient(
+    partial(jax.jit, static_argnames=("max_water_level",))(_clip_levels_u8_impl)
+)
+
+
 @cache_resilient
 @partial(
     jax.jit,

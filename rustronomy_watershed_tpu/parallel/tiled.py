@@ -237,9 +237,17 @@ def _relax_collect_tail(
     control_axes,
 ):
     """Shared statistics/merge tail of the tiled relax engines: per-level
-    curves and history snapshots come post-hoc from the claim levels L."""
+    curves and history snapshots come post-hoc from the claim levels L.
+
+    ``collect='claims'`` skips the tail entirely and returns the raw
+    (labels, claim levels) planes — the mesh merge-curve path
+    (models/base.transform_to_list) derives merged per-level statistics
+    from them with ONE relax pass instead of the per-level sweep loop."""
     axes = (axis_y, axis_x)
     h, w = labels.shape[-2:]
+
+    if collect == "claims":
+        return labels, L
 
     if merging:
         # Final merged labels: transitive union over the claimed set (the
@@ -628,6 +636,13 @@ def tiled_transform(
         out_specs = spec
     elif collect == "sizes":
         out_specs = (spec, P(None, axis_batch, None))
+    elif collect == "claims":
+        if merging or backend not in ("relax", "relax_pallas"):
+            raise ValueError(
+                "collect='claims' is the relax engines' raw (labels, claim "
+                "levels) output; use merging=False with a relax backend"
+            )
+        out_specs = (spec, spec)
     else:  # history
         out_specs = (spec, P(None, axis_batch, axis_y, axis_x))
 
@@ -645,9 +660,11 @@ def tiled_transform(
         out = out[..., :gh, :gw]
         return out[0] if squeeze else out
     labels, stats = out[0][..., :gh, :gw], out[1]
-    if collect == "history":
+    if collect in ("history", "claims"):
         stats = stats[..., :gh, :gw]
     if squeeze:
+        if collect == "claims":
+            return labels[0], stats[0]
         return labels[0], stats[:, 0]
     return labels, stats
 
