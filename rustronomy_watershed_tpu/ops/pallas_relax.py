@@ -504,7 +504,11 @@ def relax_packed_planes(img, labels0, *, tile=None, steps=None, interpret=False)
 
         steps = relax_steps(w)
     if tile is None:
-        tile = auto_tile(w, steps)
+        # Measured (width, steps) configs first (ops.tune); the VMEM-fit
+        # heuristic is only the fallback bound for unmeasured widths.
+        from .tune import relax_tile
+
+        tile = relax_tile(w, steps) or auto_tile(w, steps)
     if labels0 is None:
         from .pallas_pack import pack_domain_fused
 

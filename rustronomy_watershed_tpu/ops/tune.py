@@ -35,6 +35,20 @@ RELAX_STEPS_TABLE: dict[int, int] = {
     8192: 32,
 }
 
+# width bucket -> band tile, MEASURED with the table's steps (these are the
+# exact configurations the round-4 bench matrix ran: 1367/1382/1252/1322
+# Mpix/s).  For listed buckets the VMEM-fit heuristic
+# (ops.pallas_relax.auto_tile, ~80 B per window element) is therefore not
+# perf-governing — it remains only the fallback bound for widths nobody has
+# measured (where a Mosaic footprint change would surface as a compile-time
+# VMEM error at the 112 MB limit, not silent corruption).
+RELAX_TILE_TABLE: dict[int, int] = {
+    1024: 256,
+    2048: 256,
+    4096: 240,
+    8192: 88,
+}
+
 _MIN_STEPS = 8  # Mosaic sublane-DMA slice granularity
 
 
@@ -52,3 +66,16 @@ def relax_steps(width: int) -> int:
     keys = sorted(RELAX_STEPS_TABLE)
     nearest = min(keys, key=lambda k: abs(k - bucket))
     return RELAX_STEPS_TABLE[nearest]
+
+
+def relax_tile(width: int, steps: int) -> int | None:
+    """Measured band tile for (width, steps), or None when unmeasured (the
+    caller falls back to the auto_tile VMEM bound).  Only EXACT width
+    matches count: the tables were measured at the bucket widths themselves,
+    and a tile tuned for width W can exceed the VMEM budget at W' > W."""
+    if os.environ.get("RWT_RELAX_STEPS") or os.environ.get("RWT_RELAX_TILE"):
+        env = os.environ.get("RWT_RELAX_TILE")
+        return int(env) if env else None
+    if width in RELAX_TILE_TABLE and steps == RELAX_STEPS_TABLE.get(width):
+        return RELAX_TILE_TABLE[width]
+    return None

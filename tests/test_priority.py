@@ -272,3 +272,22 @@ def test_merging_per_level_collect_fallback_with_image_seeds(rng):
     )
     np.testing.assert_array_equal(np.asarray(lab), np.asarray(want_lab))
     np.testing.assert_array_equal(np.asarray(sizes), np.asarray(want_sizes))
+
+
+def test_tune_relax_tile_resolution(monkeypatch):
+    from rustronomy_watershed_tpu.ops.pallas_relax import auto_tile
+    from rustronomy_watershed_tpu.ops.tune import relax_tile
+
+    assert relax_tile(4096, 32) == 240   # measured config
+    assert relax_tile(4096, 16) is None  # steps mismatch -> auto_tile bound
+    assert relax_tile(4000, 32) is None  # non-bucket width -> auto_tile bound
+    # measured tiles must respect the pipelined-write constraint
+    from rustronomy_watershed_tpu.ops.tune import (
+        RELAX_STEPS_TABLE,
+        RELAX_TILE_TABLE,
+    )
+    for w, t in RELAX_TILE_TABLE.items():
+        assert t >= RELAX_STEPS_TABLE[w] and t % 8 == 0
+        assert t <= auto_tile(w, RELAX_STEPS_TABLE[w])  # within the VMEM bound
+    monkeypatch.setenv("RWT_RELAX_STEPS", "16")
+    assert relax_tile(4096, 16) is None  # manual sweeps bypass the table

@@ -211,6 +211,22 @@ def main():
         f"{(got_t != want_t).sum()} diffs",
     )
 
+    # Mesh merging transform_to_list (collect='claims' + host Kruskal) on
+    # real hardware vs the single-device entry point.
+    ws_m = TransformBuilder.default().set_max_water_lvl(39).build_merging()
+    ws_mm = (
+        TransformBuilder.default().set_max_water_lvl(39).set_mesh(mesh11)
+        .build_merging()
+    )
+    tseeds2 = ws_m.find_local_minima(timg)
+    want_c = ws_m.transform_to_list(timg, tseeds2, counts_length=len(tseeds2) + 1)
+    got_c = ws_mm.transform_to_list(timg, tseeds2, counts_length=len(tseeds2) + 1)
+    ok &= check(
+        f"mesh merging transform_to_list @ {tsz}² 1x1 mesh",
+        all((a[1] == b[1]).all() and a[0] == b[0] for a, b in zip(want_c, got_c)),
+        "",
+    )
+
     # Edge-corrected transform on a preprocessed NaN-laced float field
     # (quirk Q4 + Q7 end-to-end through the public API) vs the oracle.
     esz = 256

@@ -60,9 +60,12 @@ def main():
             jnp.asarray(rng.integers(0, 254, size=(size, size)).astype(np.uint8))
         )
         jax.block_until_ready(img)
-        tile = pr.auto_tile(size)
+        from rustronomy_watershed_tpu.ops.tune import relax_steps
+
+        steps = relax_steps(size)
+        tile = pr.auto_tile(size, steps)
         v_pad, key_pad, lab_pad, _ = jax.jit(
-            partial(pack_domain_fused, tile=tile, steps=pr.DEFAULT_STEPS)
+            partial(pack_domain_fused, tile=tile, steps=steps)
         )(img)
         seg = jax.jit(
             partial(watershed_e2e_impl, max_water_level=254, backend="relax_pallas")
@@ -85,13 +88,13 @@ def main():
             ),
             "pack_fused": steady(
                 lambda s, im: pack_domain_fused(
-                    im + s.astype(jnp.uint8), tile, pr.DEFAULT_STEPS
+                    im + s.astype(jnp.uint8), tile, steps
                 )[1],
                 img,
             ),
             "relax_fp": steady(
                 lambda s, v, k, l: pr.relax_fixed_point(
-                    v, k + s, l, tile=tile, steps=pr.DEFAULT_STEPS
+                    v, k + s, l, tile=tile, steps=steps
                 )[1],
                 v_pad,
                 key_pad,
