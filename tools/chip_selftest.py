@@ -39,7 +39,13 @@ def numbering_and_pack_checks(rng, size, log=print):
     """Checks 1+2: jnp seed numbering and the fused pack kernel vs host NumPy
     at ``size``² on the ambient platform.  This is the subset bench.py runs
     before every timing pass (the bf16-truncation hazard class: integer
-    numbering corrupted on chip while CPU CI stayed green)."""
+    numbering corrupted on chip while CPU CI stayed green).
+
+    Packaged as ONE jitted probe (remote compiles cost 30-90 s each on the
+    tunnelled dev platform) at the production geometry (tuned steps/tile);
+    the pack comparison reduces to scalar diff counts on device so only the
+    numbering plane rides the slow downlink for the host-NumPy check.
+    """
     from functools import partial
 
     import jax
@@ -51,37 +57,60 @@ def numbering_and_pack_checks(rng, size, log=print):
         local_extrema_mask,
         seed_labels_from_mask,
     )
-    from rustronomy_watershed_tpu.ops.tune import relax_steps
+    from rustronomy_watershed_tpu.ops.tune import relax_steps, relax_tile
+
+    steps = relax_steps(size)
+    tile = relax_tile(size, steps) or auto_tile(size, steps)
+
+    @partial(jax.jit, static_argnames=("tile", "steps"))
+    def probe(img, *, tile, steps):
+        mask = local_extrema_mask(img)
+        num = seed_labels_from_mask(mask)
+        v0, k0, l0 = pack_domain(img, num, tile, steps)
+        v1, k1, l1, n = pack_domain_fused(img, tile, steps)
+        diffs = (
+            jnp.sum((v0 != v1).astype(jnp.int32))
+            + jnp.sum((k0 != k1).astype(jnp.int32))
+            + jnp.sum((l0 != l1).astype(jnp.int32))
+        )
+        return num, diffs, n
 
     ok = True
     img_np = rng.integers(0, 255, size=(size, size)).astype(np.uint8)
     img = jax.device_put(jnp.asarray(img_np))
-    mask = np.asarray(local_extrema_mask(img))
+    num, diffs, n = probe(img, tile=tile, steps=steps)
+    got = np.asarray(num)
+    mask = got > 0
     truth = np.where(
         mask, np.cumsum(mask.astype(np.int64)).reshape(mask.shape), 0
     ).astype(np.int32)
-    got = np.asarray(seed_labels_from_mask(jnp.asarray(mask)))
+    # The seed MASK itself is checked against a pure-NumPy rederivation (a
+    # corrupted device mask would otherwise also corrupt `truth`).
+    interior = img_np[1:-1, 1:-1]
+    neigh = [
+        img_np[1 + dy : img_np.shape[0] - 1 + dy, 1 + dx : img_np.shape[1] - 1 + dx]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    ]
+    host_mask = np.zeros_like(img_np, dtype=bool)
+    host_mask[1:-1, 1:-1] = np.logical_and.reduce([n < interior for n in neigh])
+    ok &= check(
+        f"extrema mask vs host NumPy @ {size}²",
+        (host_mask == mask).all(),
+        f"{(host_mask != mask).sum()} diffs",
+        log=log,
+    )
     ok &= check(
         f"jnp seed numbering vs host NumPy @ {size}²",
         (got == truth).all(),
         f"{(got != truth).sum()} diffs",
         log=log,
     )
-
-    # The certified program must be the production geometry: the tuned
-    # steps schedule (ops.tune), not a hard-coded one.
-    steps = relax_steps(size)
-    tile = auto_tile(size, steps)
-    v0, k0, l0 = jax.jit(partial(pack_domain, tile=tile, steps=steps))(img, truth)
-    v1, k1, l1, n = jax.jit(partial(pack_domain_fused, tile=tile, steps=steps))(img)
     ok &= check(
-        f"fused pack kernel vs jnp pack @ {size}²",
-        all(
-            (np.asarray(a) == np.asarray(b)).all()
-            for a, b in ((v0, v1), (k0, k1), (l0, l1))
-        )
-        and int(n) == truth.max(),
-        f"seeds={int(n)}",
+        f"fused pack kernel vs jnp pack @ {size}² (device-compared)",
+        int(diffs) == 0 and int(n) == truth.max(),
+        f"{int(diffs)} plane diffs, seeds={int(n)}",
         log=log,
     )
     return ok
