@@ -577,3 +577,30 @@ def test_checkpoint_resume_on_mesh(tmp_path, rng):
     out2 = ws2.transform_with_hook(img, seeds)
     assert hook_levels[0] == 4
     np.testing.assert_array_equal(out2[-1], full)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_mesh_merging_to_list_differential(rng, trial):
+    """Randomised differential for the mesh merge-curve path (collect='claims'
+    + host Kruskal) vs the single-device entry point, varying shape/content."""
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    shape = [(24, 24), (19, 33), (40, 22)][trial]
+    hi = [6, 14, 30][trial]
+    img = rng.integers(0, hi, size=shape).astype(np.uint8)
+
+    def build(mesh):
+        b = TransformBuilder.default().set_max_water_lvl(hi - 1)
+        if mesh is not None:
+            b = b.set_mesh(mesh)
+        return b.build_merging()
+
+    single = build(None)
+    seeds = single.find_local_minima(img) or [(2, 2)]
+    want = single.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+    got = build(make_mesh(8)).transform_to_list(
+        img, seeds, counts_length=len(seeds) + 1
+    )
+    for (lw, cw), (lg, cg) in zip(want, got):
+        assert lw == lg
+        np.testing.assert_array_equal(cg, cw, err_msg=f"trial {trial} lvl {lw}")
