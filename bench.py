@@ -58,10 +58,13 @@ def main():
     merging = os.environ.get("BENCH_MERGING", "0") == "1"
     backend = os.environ.get("BENCH_BACKEND", "relax_pallas")
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    # Default inner count scales with the per-transform time so the one
-    # ~26 ms tunnel dispatch per outer call stays amortised at every size
-    # (at 1024² a transform is ~2.5 ms; inner=8 would under-report by ~2x).
-    inner_default = max(8, min(128, 8 * (4096 // size) ** 2))
+    # Default inner count amortises the one ~26 ms tunnel dispatch per
+    # outer rep to ~1% of the measurement: inner ≈ 26 ms / (1% · T_est),
+    # with T_est planned at ~1.3 Gpix/s.  (The r4 formula 8·(4096/size)²
+    # left a 3.25 ms/iter dispatch share at 4096² — 24% of the measured
+    # time; measured effect of amortising it: 1252 → 1627 Mpix/s.)
+    t_est_ms = size * size / 1.3e6
+    inner_default = int(max(64, min(4096, round(2600.0 / t_est_ms))))
     inner = int(os.environ.get("BENCH_INNER", str(inner_default)))
     tile_env = os.environ.get("BENCH_TILE")
     tile = int(tile_env) if tile_env else None
