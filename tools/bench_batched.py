@@ -1,0 +1,110 @@
+"""Steady-state bench for BASELINE config 5: batched 64x1024^2 segmenting.
+
+Measures ``transform_batch``'s stacked-relax device path (the (B*H, W)
+vertical stacking with per-image NEVER_FILL borders, seeds given as
+pre-painted labels0 — models/base.py:276) with the bench.py methodology:
+``inner`` serially-dependent batch transforms inside ONE jitted
+lax.fori_loop, forced by a scalar fetch, exact int32 checksum asserted
+across every iteration and rep.  Run on the TPU:
+``python tools/bench_batched.py [B [size]]``.
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rustronomy_watershed_tpu.constants import NEVER_FILL
+    from rustronomy_watershed_tpu.models.base import _label_bucket
+    from rustronomy_watershed_tpu.ops.level_driver import run_levels_impl
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 254, size=(b, size, size)).astype(np.uint8)
+    imgs[:, 0, :] = NEVER_FILL
+    imgs[:, -1, :] = NEVER_FILL
+    imgs[:, :, 0] = NEVER_FILL
+    imgs[:, :, -1] = NEVER_FILL
+    stacked = imgs.reshape(b * size, size)
+
+    # Seeds as transform_batch receives them: pre-painted labels0 (host
+    # NumPy strict-local-maxima + row-major numbering, quirk Q1).
+    hh, ww = stacked.shape
+    ok = np.ones((hh - 2, ww - 2), dtype=bool)
+    centre = stacked[1:-1, 1:-1]
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            ok &= stacked[1 + dy : hh - 1 + dy, 1 + dx : ww - 1 + dx] < centre
+    mask = np.zeros((hh, ww), dtype=bool)
+    mask[1:-1, 1:-1] = ok
+    labels0 = (np.cumsum(mask.ravel()).reshape(hh, ww) * mask).astype(np.int32)
+    n_seeds = int(labels0.max())
+    bucket = _label_bucket(n_seeds)
+
+    img_d = jax.device_put(jnp.asarray(stacked))
+    lab_d = jax.device_put(jnp.asarray(labels0))
+    jax.block_until_ready((img_d, lab_d))
+
+    def checksum(lab):
+        lab = lab.reshape(-1).astype(jnp.int32)
+        pos = jax.lax.iota(jnp.int32, lab.shape[0]) * jnp.int32(-1640531527)
+        return jnp.sum(lab) ^ jnp.sum(lab * pos)
+
+    npx = b * size * size
+    inner = int(max(16, min(1024, round(2600.0 / (npx / 1.3e6)))))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_many(img, lab0, n):
+        def body(i, carry):
+            chk_prev, acc = carry
+            salt = jnp.where(chk_prev == jnp.int32(-123456789), 1, 0).astype(
+                jnp.uint8
+            )
+            out = run_levels_impl(
+                img + salt,
+                lab0,
+                n_labels=bucket,
+                max_water_level=254,
+                merging=False,
+                collect="none",
+                backend="relax_pallas",
+            )
+            chk = checksum(out)
+            return chk, acc.at[i].set(chk)
+
+        _, acc = jax.lax.fori_loop(
+            0, n, body, (jnp.int32(0), jnp.zeros((n,), jnp.int32))
+        )
+        return acc
+
+    acc = np.asarray(run_many(img_d, lab_d, inner))
+    assert np.all(acc == acc[0]), f"nondeterministic: {acc}"
+    chk0 = acc[0]
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = np.asarray(run_many(img_d, lab_d, inner))
+        times.append(time.perf_counter() - t0)
+        assert np.all(acc == chk0)
+
+    dt = min(times) / inner
+    print(
+        f"batched {b}x{size}^2 segmenting: {npx / dt / 1e6:.0f} Mpix/s "
+        f"({dt * 1e3:.1f} ms per batch, inner={inner}, seeds={n_seeds})"
+    )
+
+
+if __name__ == "__main__":
+    main()
