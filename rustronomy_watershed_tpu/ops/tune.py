@@ -46,7 +46,11 @@ RELAX_TILE_TABLE: dict[int, int] = {
     1024: 256,
     2048: 256,
     4096: 240,
-    8192: 88,
+    # r5 sweep: the 80 B/elem VMEM formula was stale for the current kernel
+    # (real footprint ~66 B/elem: tile 136 compiles, 152 does not) — the
+    # formula's 88 left 42% of every DMA as halo.  Measured at 8192²:
+    # 88/120/128/136 -> 1413/1539/1615/1608 Mpix/s.
+    8192: 128,
 }
 
 _MIN_STEPS = 8  # Mosaic sublane-DMA slice granularity
