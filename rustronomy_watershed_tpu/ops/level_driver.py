@@ -203,16 +203,22 @@ def run_levels_impl(
             # Fastest merging path: relax to the fixed point, then run the
             # component-min scans DIRECTLY on the padded label plane (the
             # claimed-ness gate pins out-of-domain cells at 0 = barriers) —
-            # no extraction or slice pass ever materialises.
+            # no extraction or slice pass ever materialises.  The scans'
+            # forward pass rides the converging relax call itself
+            # (fwd_scan=True): with the one-call schedule the relax kernel
+            # emits the pass-1 plane from VMEM, so the tail never re-reads
+            # the label plane for it.
             from .pallas_relax import relax_packed_planes
             from .scan_merge import component_min_from_padded
 
             h, w = img.shape
-            _, lab_pad, p, tile_r = relax_packed_planes(
-                img, labels0, tile=tile, steps=steps, interpret=interpret
+            _, lab_pad, p, tile_r, y0, y0_valid = relax_packed_planes(
+                img, labels0, tile=tile, steps=steps, interpret=interpret,
+                fwd_scan=True,
             )
             return component_min_from_padded(
-                lab_pad, p=p, h=h, w=w, tile=tile_r, interpret=interpret
+                lab_pad, p=p, h=h, w=w, tile=tile_r, interpret=interpret,
+                y0=y0, y0_valid=y0_valid,
             )
 
         if backend == "relax_pallas":

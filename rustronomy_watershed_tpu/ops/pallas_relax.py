@@ -59,6 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import NEVER_FILL, UNCOLOURED
+from .scan_merge import _INF as _SCAN_INF, _seg_min_scan
 
 DEFAULT_TILE = 256
 DEFAULT_STEPS = 16
@@ -121,16 +122,18 @@ def _relax_kernel(
     lab_out,
     flags_ref,
     chg_ref,
-    v2,
-    key2,
-    lab2,
-    sems,
-    *,
+    *rest,
     tile,
     steps,
     pipelined,
     ctr_cols=None,
+    fused_scan=None,
 ):
+    if fused_scan is None:
+        v2, key2, lab2, sems = rest
+        y_out = yst = ycarry = None
+    else:
+        y_out, v2, key2, lab2, yst, ycarry, sems = rest
     t, p = tile, steps
     win = t + 2 * p
     i = pl.program_id(0)
@@ -327,6 +330,42 @@ def _relax_kernel(
             co1.wait()
             co2.wait()
 
+        # Fused fwd-vertical segmented-min scan epilogue (merging path):
+        # when this call converges, flab's centre rows ARE the final label
+        # plane, and the grid's top-to-bottom band order is exactly the
+        # cross-band carry order the component-min fwd pass needs
+        # (ops.scan_merge._fwd_v_kernel) — so the scan's first pass rides
+        # this kernel for free and the separate fwd read of the lab plane
+        # disappears.  Only sound when EVERY band computes (the driver
+        # passes active=ones and pipelined=True); the driver discards y_out
+        # unless this call's witness certified convergence.
+        if fused_scan is not None:
+            col_lo, col_hi = fused_scan
+            x = flab[p : p + t, :]
+            wps = x.shape[1]
+            rr = jax.lax.broadcasted_iota(jnp.int32, (t, wps), 0)
+            ccs = jax.lax.broadcasted_iota(jnp.int32, (t, wps), 1)
+            inf = jnp.int32(_SCAN_INF)
+            reset = x == 0
+            sv, sb = _seg_min_scan(
+                jnp.where(reset, inf, x), reset.astype(jnp.int32), 0, t, False, rr
+            )
+            carry_in = jnp.where(
+                i == 0, jnp.full((1, wps), inf, jnp.int32), ycarry[...]
+            )
+            sfinal = jnp.where(sb != 0, sv, jnp.minimum(sv, carry_in))
+            ycarry[...] = jnp.min(
+                jnp.where(rr == t - 1, sfinal, inf), axis=0, keepdims=True
+            )
+            y = jnp.where(reset, 0, sfinal)
+            y = jnp.where((ccs == col_lo) | (ccs == col_hi), x, y)
+            yst[...] = y
+            co = pltpu.make_async_copy(
+                yst, y_out.at[pl.ds(i * t, t), :], sems.at[slot, 7]
+            )
+            co.start()
+            co.wait()
+
     if pipelined:
         # Dense mode: UNCONDITIONAL cross-band DMA pipelining (band i+1's
         # window prefetches during band i's compute) with Jacobi-consistent
@@ -388,6 +427,7 @@ def relax_block(
     interpret=False,
     pipelined=True,
     ctr_cols=None,
+    fused_scan=None,
 ):
     """P fused relaxation sweeps over the active bands (in-place aliased).
 
@@ -396,16 +436,54 @@ def relax_block(
     ``ctr_cols=(lo, hi)`` restricts change DETECTION to a static column range
     (tiled/shard_map use — see the kernel comment); the sweeps themselves
     always run full-width.
+
+    ``fused_scan=(col_lo, col_hi)`` additionally emits the forward-vertical
+    segmented-min scan of the final label plane (the merging component-min
+    pass 1, ops.scan_merge) as a fifth result y of shape (hp - 2*steps, wp)
+    — valid ONLY when this call certified convergence (not_converged ==
+    False).  Requires pipelined=True and an all-active band set: the scan's
+    cross-band carry needs every band to compute, in grid order.
     """
     if tile < steps:
         raise ValueError(
             f"relax_block needs tile >= steps (got {tile} < {steps}): the "
             "pipelined write-ordering covers exactly the successor's top halo"
         )
+    if fused_scan is not None and not pipelined:
+        raise ValueError(
+            "fused_scan needs pipelined=True (dense all-active call): the "
+            "scan carry requires every band to compute in grid order"
+        )
     hp, wp = v_pad.shape
     p = steps
     gy = (hp - 2 * p) // tile
     win = tile + 2 * p
+
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((gy, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        jax.ShapeDtypeStruct((gy, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((2, win, wp), jnp.int8),
+        pltpu.VMEM((2, win, wp), jnp.int32),
+        pltpu.VMEM((2, win, wp), jnp.int32),
+    ]
+    if fused_scan is not None:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((gy * tile, wp), jnp.int32))
+        scratch += [
+            pltpu.VMEM((tile, wp), jnp.int32),
+            pltpu.VMEM((1, wp), jnp.int32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 8 if fused_scan else 7)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -415,41 +493,29 @@ def relax_block(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((gy, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, win, wp), jnp.int8),
-            pltpu.VMEM((2, win, wp), jnp.int32),
-            pltpu.VMEM((2, win, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 7)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
 
     active = jnp.asarray(active, dtype=jnp.int32)
-    key2, lab2, flags, chg = pl.pallas_call(
+    outs = pl.pallas_call(
         partial(
             _relax_kernel,
             tile=tile,
             steps=steps,
             pipelined=pipelined,
             ctr_cols=ctr_cols,
+            fused_scan=fused_scan,
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((gy, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
+        out_shape=out_shape,
         input_output_aliases={2: 0, 3: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(active, v_pad, key_pad, lab_pad)
-    return key2, lab2, flags[:, 0], chg[0, 0] > 0
+    key2, lab2, flags, chg = outs[:4]
+    base = (key2, lab2, flags[:, 0], chg[0, 0] > 0)
+    return base + (outs[4],) if fused_scan is not None else base
 
 
 def _dilate_flags(flags: jnp.ndarray) -> jnp.ndarray:
@@ -489,13 +555,77 @@ def relax_fixed_point(
     return key, lab
 
 
-def relax_packed_planes(img, labels0, *, tile=None, steps=None, interpret=False):
+def relax_fixed_point_fused(
+    v_pad,
+    key_pad,
+    lab_pad,
+    *,
+    col_lo,
+    col_hi,
+    tile=DEFAULT_TILE,
+    steps=DEFAULT_STEPS,
+    interpret=False,
+):
+    """relax_fixed_point that ALSO returns the merging component-min fwd pass.
+
+    Call 1 runs dense/pipelined with the fused fwd-vertical scan epilogue;
+    with the measured one-call schedule (ops.tune: steps above the typical
+    chain length) that call usually both converges and certifies, so its y
+    output IS the scan-merge pass-1 plane and the separate fwd read of the
+    label plane (ops.scan_merge) is skipped.  Returns
+    (key, lab, y0, y0_valid); y0 is garbage when y0_valid is False (the
+    caller falls back to the standalone fwd pass — bit-identical either way).
+    """
+    hp, _ = v_pad.shape
+    p = steps
+    gy = (hp - 2 * p) // tile
+
+    key, lab, flags, not_conv, y0 = relax_block(
+        v_pad,
+        key_pad,
+        lab_pad,
+        jnp.ones((gy,), jnp.int32),
+        tile=tile,
+        steps=steps,
+        interpret=interpret,
+        pipelined=True,
+        fused_scan=(col_lo, col_hi),
+    )
+    y0_valid = jnp.logical_not(not_conv)
+
+    def body(state):
+        key, lab, active, _ = state
+        key, lab, flags, nc = jax.lax.cond(
+            jnp.sum(active) * 3 > gy,
+            lambda args: relax_block(
+                *args, tile=tile, steps=steps, interpret=interpret, pipelined=True
+            ),
+            lambda args: relax_block(
+                *args, tile=tile, steps=steps, interpret=interpret, pipelined=False
+            ),
+            (v_pad, key, lab, active),
+        )
+        return key, lab, _dilate_flags(flags), nc
+
+    key, lab, _, _ = jax.lax.while_loop(
+        lambda s: s[3], body, (key, lab, _dilate_flags(flags), not_conv)
+    )
+    return key, lab, y0, y0_valid
+
+
+def relax_packed_planes(
+    img, labels0, *, tile=None, steps=None, interpret=False, fwd_scan=False
+):
     """Run the relaxation to its fixed point and return the PADDED planes:
     (key_pad, lab_pad, p, tile) with real data at rows/cols [p, p + dim).
 
     The claimed-ness gate (one_sweep) guarantees lab_pad is 0 at every
     unclaimed cell, so downstream kernels (ops.scan_merge) can consume the
     padded plane directly with out-of-domain cells acting as barriers.
+
+    ``fwd_scan=True`` (merging path) appends (y0, y0_valid) to the result:
+    the component-min forward-vertical pass fused into the converging relax
+    call (see relax_fixed_point_fused).
     """
     img = jnp.asarray(img)
     _, w = img.shape
@@ -517,6 +647,18 @@ def relax_packed_planes(img, labels0, *, tile=None, steps=None, interpret=False)
         )
     else:
         v_pad, key_pad, lab_pad = pack_domain(img, labels0, tile, steps)
+    if fwd_scan:
+        key, lab, y0, y0_valid = relax_fixed_point_fused(
+            v_pad,
+            key_pad,
+            lab_pad,
+            col_lo=steps,
+            col_hi=steps + w - 1,
+            tile=tile,
+            steps=steps,
+            interpret=interpret,
+        )
+        return key, lab, steps, tile, y0, y0_valid
     key, lab = relax_fixed_point(
         v_pad, key_pad, lab_pad, tile=tile, steps=steps, interpret=interpret
     )

@@ -391,7 +391,15 @@ def _component_min_pallas(labels, h, w, tile, interpret):
 
 
 def component_min_from_padded(
-    lab_pad, *, p: int, h: int, w: int, tile: int, interpret: bool = False
+    lab_pad,
+    *,
+    p: int,
+    h: int,
+    w: int,
+    tile: int,
+    interpret: bool = False,
+    y0=None,
+    y0_valid=None,
 ):
     """Component-min labels straight from the relax engine's padded label
     plane — the merging variant's final-label tail with ZERO extraction
@@ -410,6 +418,12 @@ def component_min_from_padded(
     every later pass runs in-place on that plane.  Cropping happens once at
     the end.  Bit-identical to component_min_labels(labels) on the sliced
     plane (pinned by tests).
+
+    ``y0``/``y0_valid``: an optionally pre-computed pass-1 plane from the
+    relax kernel's fused fwd-scan epilogue
+    (ops.pallas_relax.relax_fixed_point_fused).  When ``y0_valid`` is True
+    the standalone forward pass (a full read of the label plane) is skipped;
+    otherwise it runs here as usual — bit-identical either way.
     """
     hp_src, wp = lab_pad.shape
     h2 = hp_src - 2 * p
@@ -417,10 +431,20 @@ def component_min_from_padded(
         raise ValueError(f"relax tile {tile} must divide padded height {h2}")
     col_lo, col_hi = p, p + w - 1
 
-    y0, _ = _call_round_kernel(
-        _fwd_v_kernel, lab_pad, tile=tile, interpret=interpret,
-        out_rows=h2, col_lo=col_lo, col_hi=col_hi, row_off=p, always_write=True,
-    )
+    def _fwd(lab_pad):
+        return _call_round_kernel(
+            _fwd_v_kernel, lab_pad, tile=tile, interpret=interpret,
+            out_rows=h2, col_lo=col_lo, col_hi=col_hi, row_off=p,
+            always_write=True,
+        )[0]
+
+    if y0 is None:
+        y0 = _fwd(lab_pad)
+    else:
+        y0 = jax.lax.cond(
+            y0_valid, lambda args: args[0], lambda args: _fwd(args[1]),
+            (y0, lab_pad),
+        )
 
     def body(state):
         y, _ = state

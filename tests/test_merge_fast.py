@@ -194,3 +194,48 @@ def test_component_min_spiral_needs_multiple_rounds(rng):
             )
         )
         np.testing.assert_array_equal(got, want, err_msg=f"pallas={use_pallas}")
+
+
+def test_fused_fwd_scan_epilogue_matches_standalone_pass(rng):
+    """The relax kernel's fused fwd-vertical scan epilogue (merging pass 1
+    riding the converging relax call) must bit-match the standalone
+    _fwd_v_kernel pass on the same fixed-point plane — in BOTH branches:
+    y0_valid=True (one-call convergence, epilogue output used) and
+    y0_valid=False (multi-call, caller falls back to the standalone pass)."""
+    from rustronomy_watershed_tpu.ops.pallas_relax import (
+        pack_domain,
+        relax_fixed_point_fused,
+    )
+    from rustronomy_watershed_tpu.ops.scan_merge import (
+        _call_round_kernel,
+        _fwd_v_kernel,
+    )
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    img = rng.integers(0, 254, size=(40, 56)).astype(np.uint8)
+    lab0 = seed_labels_from_mask(local_extrema_mask(jnp.asarray(img, jnp.int32)))
+    seen_valid = []
+    # steps=40 > any chain length here -> one-call convergence (valid path);
+    # steps=8 -> multi-call (fallback path).
+    for steps, tile in ((40, 40), (8, 16)):
+        v_pad, key_pad, lab_pad = pack_domain(img, lab0, tile, steps)
+        _, lab, y0, y0_valid = relax_fixed_point_fused(
+            v_pad, key_pad, lab_pad, col_lo=steps, col_hi=steps + 56 - 1,
+            tile=tile, steps=steps, interpret=True,
+        )
+        h2 = lab.shape[0] - 2 * steps
+        want = np.asarray(
+            _call_round_kernel(
+                _fwd_v_kernel, lab, tile=tile, interpret=True, out_rows=h2,
+                col_lo=steps, col_hi=steps + 56 - 1, row_off=steps,
+                always_write=True,
+            )[0]
+        )
+        seen_valid.append(bool(y0_valid))
+        if bool(y0_valid):
+            np.testing.assert_array_equal(np.asarray(y0), want)
+    assert seen_valid[0], "steps=40 should converge+certify in one call"
+    assert not seen_valid[1], "steps=8 should need further calls at 40x56"
