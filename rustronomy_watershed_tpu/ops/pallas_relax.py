@@ -68,13 +68,17 @@ DEFAULT_STEPS = 16
 def auto_tile(width: int, steps: int = DEFAULT_STEPS) -> int:
     """Band height fitting the kernel's VMEM footprint at this image width.
 
-    Mosaic's compute intermediates for the unrolled sweep cost ~80 B per
-    window element (measured: a (288, 8320) window compiles to ~188 MB of
-    scoped VMEM); keep win*wp*80 under ~105 MB of the chip's 128 MB.
-    256 is the tuned optimum at 4096² and the cap.
+    Mosaic's compute intermediates for the current kernel cost ~66 B per
+    window element (r5 recalibration on v5e: at wp=8320, steps=32 a
+    win=200-row window [tile 136] compiles under the 112 MB
+    vmem_limit_bytes and win=216 [tile 152] does not — bracketing the
+    budget/coefficient at ~110 MB / 66 B).  The earlier 80 B/elem figure
+    was measured on the pre-r4 kernel and under-sized 8192-wide bands by
+    42% halo share (see ops.tune.RELAX_TILE_TABLE).  256 is the tuned
+    optimum at 4096² and the cap.
     """
     wp = -(-(width + 2 * steps) // 128) * 128
-    tile = (105_000_000 // (wp * 80) - 2 * steps) // 8 * 8
+    tile = (110_000_000 // (wp * 66) - 2 * steps) // 8 * 8
     return int(max(8, min(DEFAULT_TILE, tile)))
 
 _D_BITS = 23
