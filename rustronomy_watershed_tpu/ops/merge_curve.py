@@ -201,22 +201,32 @@ def merged_sizes_host(
     for lvl in range(levels):
         el, eh = lo[starts[lvl] : starts[lvl + 1]], hi[starts[lvl] : starts[lvl + 1]]
         if el.size:
-            # Batched union: scatter-min the edge endpoints' representatives
-            # into parent, pointer-jump to full compression, repeat until the
-            # level's subgraph is merged (few iterations — path lengths are
-            # short after the previous level's compression).
+            # Union this level's edge subgraph on a MINI graph over just the
+            # roots it touches (parent is fully compressed between levels, so
+            # parent[e*] are roots): min-propagate representatives over the
+            # per-level edges until stable, then write the touched roots once
+            # and re-compress with a single full-table gather (compressed
+            # non-roots point AT old roots, which now point at final reps —
+            # one hop suffices).  This keeps the O(K) work at one gather +
+            # one bincount per level instead of repeated full-table
+            # pointer-jump rounds and np.minimum.at scatters.
+            ra, rb = parent[el], parent[eh]
+            nodes, inv = np.unique(np.concatenate([ra, rb]), return_inverse=True)
+            ia, ib = inv[: el.size], inv[el.size :]
+            rep = np.arange(nodes.size, dtype=np.int64)
             while True:
-                ra, rb = parent[el], parent[eh]
-                m = np.minimum(ra, rb)
-                np.minimum.at(parent, ra, m)
-                np.minimum.at(parent, rb, m)
-                while True:
-                    p2 = parent[parent]
-                    if np.array_equal(p2, parent):
-                        break
-                    parent = p2
-                if (parent[el] == parent[eh]).all():
+                m = np.minimum(rep[ia], rep[ib])
+                np.minimum.at(rep, ia, m)
+                np.minimum.at(rep, ib, m)
+                r2 = rep[rep]
+                while not np.array_equal(r2, rep):
+                    rep = r2
+                    r2 = rep[rep]
+                rep = r2
+                if (rep[ia] == rep[ib]).all():
                     break
+            parent[nodes] = nodes[rep]
+            parent = parent[parent]
         out[lvl] = np.bincount(
             parent, weights=cum[lvl], minlength=k1
         ).astype(cum.dtype)

@@ -243,10 +243,14 @@ def _relax_kernel(
         def one_sweep(key, lab):
             kq4 = rolls(key)
             lq4 = rolls(lab)
-            best = key
+            # min_d max(ext_d, vcand) == max(min_d ext_d, vcand): max(., c)
+            # is monotone, so the min-reduction commutes through it — one
+            # max per sweep instead of four (bit-identical integer math).
+            ext_min = None
             for kq in kq4:
                 ext = jnp.minimum(kq + 1, kq | jnp.int32(_D_MASK))
-                best = jnp.minimum(best, jnp.maximum(ext, vcand))
+                ext_min = ext if ext_min is None else jnp.minimum(ext_min, ext)
+            best = jnp.minimum(key, jnp.maximum(ext_min, vcand))
             labmin = jnp.full_like(lab, biglab)
             for kq, lq in zip(kq4, lq4):
                 labmin = jnp.minimum(labmin, jnp.where(kq < best, lq, biglab))
