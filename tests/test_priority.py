@@ -291,3 +291,23 @@ def test_tune_relax_tile_resolution(monkeypatch):
         assert t <= auto_tile(w, RELAX_STEPS_TABLE[w])  # within the VMEM bound
     monkeypatch.setenv("RWT_RELAX_STEPS", "16")
     assert relax_tile(4096, 16) is None  # manual sweeps bypass the table
+
+
+def test_fused_scan_tile_cap():
+    """The merging path's fwd-scan epilogue adds VMEM scratch the
+    segmenting-measured tile table does not budget for: at 8192²/steps=32
+    the table tile (128) compiled for segmenting but OOM'd the 112 MB
+    scoped-vmem limit with the epilogue (113.0 MB, measured on v5e).  The
+    fused path must cap by its own bound."""
+    from rustronomy_watershed_tpu.ops.pallas_relax import auto_tile
+    from rustronomy_watershed_tpu.ops.tune import (
+        RELAX_STEPS_TABLE,
+        RELAX_TILE_TABLE,
+    )
+
+    for w, t in RELAX_TILE_TABLE.items():
+        s = RELAX_STEPS_TABLE[w]
+        fused = auto_tile(w, s, fused_scan=True)
+        assert fused <= auto_tile(w, s)
+        assert min(t, fused) >= s  # pipelined-write constraint survives
+    assert auto_tile(8192, 32, fused_scan=True) < RELAX_TILE_TABLE[8192]
