@@ -65,30 +65,60 @@ DEFAULT_TILE = 256
 DEFAULT_STEPS = 16
 
 
+# Scoped-VMEM ceiling for the relax kernel.  The chip total is 128 MiB;
+# Mosaic's own scoped-allocation reports (r6 sweep at 8192², steps=32)
+# bracket what fits: win=216 rows = 122.33 MiB compiles and RUNS at a
+# 123 MiB limit, win=232 = ~131 MiB does not fit even at 127 MiB.  The
+# r2-r5 112 MiB setting left ~9% of the chip's VMEM (one 8-row tile step
+# at 8192 width) unused.
+VMEM_LIMIT_BYTES = 123 * 1024 * 1024
+
+# Measured footprint per window element ×10, from Mosaic's scoped-allocation
+# error sizes (r6, v5e): 117.82 MiB at win=208×8320 and 122.33 MiB at
+# win=216×8320 — linear through the origin at 71.4 B/elem (the r5 "66 B"
+# figure compared a decimal-byte budget against Mosaic's MiB report).
+_WIN_ELEM_BYTES_X10 = 714
+
+# Fallback-bound safety slack for widths nobody has measured (the measured
+# table entries are validated against the un-slacked model instead).
+_AUTO_TILE_SLACK = 1 << 20
+
+
+def vmem_model_bytes(
+    width: int, steps: int, tile: int, fused_scan: bool = False
+) -> int:
+    """Modeled scoped-VMEM bytes of one relax_block call (see the
+    _WIN_ELEM_BYTES_X10 calibration).  The fwd-scan epilogue (merging path)
+    adds its 4 B/centre-element yst staging block — verified against the
+    fused win=192 OOM report (113.0 MiB = 71.5 B/elem + 4 B × tile × wp)."""
+    wp = -(-(width + 2 * steps) // 128) * 128
+    b = (tile + 2 * steps) * wp * _WIN_ELEM_BYTES_X10 // 10
+    if fused_scan:
+        b += 4 * tile * wp
+    return b
+
+
 def auto_tile(width: int, steps: int = DEFAULT_STEPS, fused_scan: bool = False) -> int:
-    """Band height fitting the kernel's VMEM footprint at this image width.
+    """Band height fitting the kernel's VMEM footprint at this image width:
+    the largest 8-multiple whose vmem_model_bytes stays a safety slack under
+    VMEM_LIMIT_BYTES.  256 is the tuned optimum at 4096² and the cap.
 
-    Mosaic's compute intermediates for the current kernel cost ~66 B per
-    window element (r5 recalibration on v5e: at wp=8320, steps=32 a
-    win=200-row window [tile 136] compiles under the 112 MB
-    vmem_limit_bytes and win=216 [tile 152] does not — bracketing the
-    budget/coefficient at ~110 MB / 66 B).  The earlier 80 B/elem figure
-    was measured on the pre-r4 kernel and under-sized 8192-wide bands by
-    42% halo share (see ops.tune.RELAX_TILE_TABLE).  256 is the tuned
-    optimum at 4096² and the cap.
-
-    ``fused_scan=True`` (merging path) budgets for the fwd-scan epilogue:
-    ~68 B per window element (the epilogue's live temporaries) plus a
-    4 B/centre-element staging block (yst).  Measured bracket at
-    wp=8320/steps=32: tile 128 + scan = 113.0 MB (OOMs the 112 MB limit),
-    tile 120 compiles — the segmenting-measured tile table must be capped
-    by this bound on the fused path.
+    The measured table (ops.tune.RELAX_TILE_TABLE) takes precedence at
+    measured widths (validated against the un-slacked model — hardware
+    brackets sit within the slack of the limit); this bound is the fallback
+    — and the fused path's cap on the segmenting-measured table tiles,
+    whose epilogue-less footprint under-budgets the merging variant (the
+    8192² table tile OOM'd the merging path at HEAD r5).
     """
     wp = -(-(width + 2 * steps) // 128) * 128
-    if fused_scan:
-        tile = (110_000_000 // wp - 2 * steps * 68) // 72 // 8 * 8
-    else:
-        tile = (110_000_000 // (wp * 66) - 2 * steps) // 8 * 8
+    per10 = wp * _WIN_ELEM_BYTES_X10
+    extra10 = 40 * wp if fused_scan else 0
+    tile = (
+        ((VMEM_LIMIT_BYTES - _AUTO_TILE_SLACK) * 10 - 2 * steps * per10)
+        // (per10 + extra10)
+        // 8
+        * 8
+    )
     return int(max(8, min(DEFAULT_TILE, tile)))
 
 _D_BITS = 23
@@ -534,7 +564,7 @@ def relax_block(
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases={2: 0, 3: 1},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(active, v_pad, key_pad, lab_pad)
     key2, lab2, flags, chg = outs[:4]

@@ -46,11 +46,12 @@ RELAX_TILE_TABLE: dict[int, int] = {
     1024: 256,
     2048: 256,
     4096: 240,
-    # r5 sweep: the 80 B/elem VMEM formula was stale for the current kernel
-    # (real footprint ~66 B/elem: tile 136 compiles, 152 does not) — the
-    # formula's 88 left 42% of every DMA as halo.  Measured at 8192²:
-    # 88/120/128/136 -> 1413/1539/1615/1608 Mpix/s.
-    8192: 128,
+    # r6 sweep at the 123 MiB scoped-VMEM limit (VMEM_LIMIT_BYTES):
+    # 136/144/152/160 -> 1691/1740/1781/1784 Mpix/s; 168 does not fit.
+    # 152 keeps ~0.7 MiB of hardware-verified headroom for +2 ‰ less than
+    # 160's.  (r5 history at the old 112 MiB limit: 88/120/128/136 ->
+    # 1413/1539/1615/1608.)
+    8192: 152,
 }
 
 _MIN_STEPS = 8  # Mosaic sublane-DMA slice granularity

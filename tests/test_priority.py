@@ -286,9 +286,19 @@ def test_tune_relax_tile_resolution(monkeypatch):
         RELAX_STEPS_TABLE,
         RELAX_TILE_TABLE,
     )
+    from rustronomy_watershed_tpu.ops.pallas_relax import (
+        VMEM_LIMIT_BYTES,
+        vmem_model_bytes,
+    )
+
     for w, t in RELAX_TILE_TABLE.items():
-        assert t >= RELAX_STEPS_TABLE[w] and t % 8 == 0
-        assert t <= auto_tile(w, RELAX_STEPS_TABLE[w])  # within the VMEM bound
+        s = RELAX_STEPS_TABLE[w]
+        assert t >= s and t % 8 == 0
+        # Measured entries are validated against the un-slacked VMEM model
+        # (they sit within the fallback bound's safety slack of the limit,
+        # verified to compile and run on hardware).
+        assert vmem_model_bytes(w, s, t) <= VMEM_LIMIT_BYTES
+        assert t <= auto_tile(w, s) + 8  # at most one step past the fallback
     monkeypatch.setenv("RWT_RELAX_STEPS", "16")
     assert relax_tile(4096, 16) is None  # manual sweeps bypass the table
 
