@@ -45,7 +45,10 @@ RELAX_STEPS_TABLE: dict[int, int] = {
 RELAX_TILE_TABLE: dict[int, int] = {
     1024: 256,
     2048: 256,
-    4096: 240,
+    # r6 same-window A/B with the factored kernel: 240 -> 256 gives
+    # segmenting 1845.9 -> 1857.6 and merging 1456.5 -> 1541.6 Mpix/s
+    # (240 was the r4 pick on the pre-factoring kernel).
+    4096: 256,
     # r6 sweep at the 123 MiB scoped-VMEM limit (VMEM_LIMIT_BYTES):
     # 136/144/152/160 -> 1691/1740/1781/1784 Mpix/s; 168 does not fit.
     # 152 keeps ~0.7 MiB of hardware-verified headroom for +2 ‰ less than
