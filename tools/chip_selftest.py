@@ -273,6 +273,31 @@ def main():
         f"{(got_e != want_e).sum()} diffs",
     )
 
+    # Non-square geometry: H != W exercises the lane-padding (wp) and band
+    # (h2) rounding paths with different row/column extents — a miscompile
+    # class the square trials cannot separate from content effects.
+    for nsq_shape in ((320, 512), (512, 320)):
+        nimg = rng.integers(0, 255, size=nsq_shape).astype(np.uint8)
+        nseeds = native_find_local_minima(nimg)
+        for merging in (False, True):
+            want_n = native_transform(nimg, nseeds, 254, merging=merging)
+            got_n = np.asarray(
+                jax.jit(
+                    partial(
+                        watershed_e2e_impl,
+                        max_water_level=254,
+                        merging=merging,
+                        backend="relax_pallas",
+                    )
+                )(jnp.asarray(nimg))
+            )
+            ok &= check(
+                f"non-square {'merging' if merging else 'segmenting'} @ "
+                f"{nsq_shape[0]}x{nsq_shape[1]}",
+                (got_n == want_n).all(),
+                f"{(got_n != want_n).sum()} diffs",
+            )
+
     # Content fuzz: many random fields through ONE compiled program per
     # variant (fixed shape + statics) vs the oracle — hunts data-dependent
     # platform miscompiles of the kind CPU CI cannot see.
