@@ -98,10 +98,17 @@ def vmem_model_bytes(
     return b
 
 
-def auto_tile(width: int, steps: int = DEFAULT_STEPS, fused_scan: bool = False) -> int:
+def auto_tile(
+    width: int,
+    steps: int = DEFAULT_STEPS,
+    fused_scan: bool = False,
+    cap: int | None = None,
+) -> int:
     """Band height fitting the kernel's VMEM footprint at this image width:
     the largest 8-multiple whose vmem_model_bytes stays a safety slack under
-    VMEM_LIMIT_BYTES.  256 is the tuned optimum at 4096² and the cap.
+    VMEM_LIMIT_BYTES, capped at ``cap`` (default DEFAULT_TILE — a safe
+    generic choice for unmeasured widths; the measured table goes taller
+    where the r6 sweep showed taller bands win).
 
     The measured table (ops.tune.RELAX_TILE_TABLE) takes precedence at
     measured widths (validated against the un-slacked model — hardware
@@ -110,6 +117,8 @@ def auto_tile(width: int, steps: int = DEFAULT_STEPS, fused_scan: bool = False) 
     whose epilogue-less footprint under-budgets the merging variant (the
     8192² table tile OOM'd the merging path at HEAD r5).
     """
+    if cap is None:
+        cap = DEFAULT_TILE
     wp = -(-(width + 2 * steps) // 128) * 128
     per10 = wp * _WIN_ELEM_BYTES_X10
     extra10 = 40 * wp if fused_scan else 0
@@ -119,7 +128,7 @@ def auto_tile(width: int, steps: int = DEFAULT_STEPS, fused_scan: bool = False) 
         // 8
         * 8
     )
-    return int(max(8, min(DEFAULT_TILE, tile)))
+    return int(max(8, min(cap, tile)))
 
 _D_BITS = 23
 _D_MASK = (1 << _D_BITS) - 1
@@ -697,7 +706,13 @@ def relax_packed_planes(
 
         tile = relax_tile(w, steps) or auto_tile(w, steps)
         if fwd_scan:
-            tile = min(tile, auto_tile(w, steps, fused_scan=True))
+            tile = min(tile, auto_tile(w, steps, fused_scan=True, cap=tile))
+        # Tall table tiles are keyed by WIDTH; never let one inflate a
+        # SHORTER image's padded height (h2 = ceil(h/tile)*tile) — e.g. the
+        # 1024-wide whole-image tile would double the rows of a 512-tall
+        # cutout.  The pipelined write-ordering still needs tile >= steps.
+        h = img.shape[0]
+        tile = max(steps, min(tile, -(-h // 8) * 8))
     if labels0 is None:
         from .pallas_pack import pack_domain_fused
 

@@ -43,12 +43,17 @@ RELAX_STEPS_TABLE: dict[int, int] = {
 # measured (where a Mosaic footprint change would surface as a compile-time
 # VMEM error at the 112 MB limit, not silent corruption).
 RELAX_TILE_TABLE: dict[int, int] = {
-    1024: 256,
+    # r6 tall-tile sweep at the 123 MiB ceiling (values above the generic
+    # DEFAULT_TILE cap are deliberate — halo share drops with band height;
+    # relax_packed_planes clamps by the image HEIGHT so a width-keyed tall
+    # tile never inflates a shorter image):
+    # 1024: 256/512/1024 -> 1966/2017/2043 (whole image, one band).
+    1024: 1024,
+    # 2048: 384/512 -> 1873/1990 both lose to 256's 2001 — keep 256.
     2048: 256,
-    # r6 same-window A/B with the factored kernel: 240 -> 256 gives
-    # segmenting 1845.9 -> 1857.6 and merging 1456.5 -> 1541.6 Mpix/s
-    # (240 was the r4 pick on the pre-factoring kernel).
-    4096: 256,
+    # 4096: 240 -> 256 -> 320 = 1845.9 -> 1857.6 -> 1912.6 segmenting
+    # (merging 1541.6 -> 1542.0, neutral); 384 does not fit.
+    4096: 320,
     # r6 sweep at the 123 MiB scoped-VMEM limit (VMEM_LIMIT_BYTES):
     # 136/144/152/160 -> 1691/1740/1781/1784 Mpix/s; 168 does not fit.
     # 152 keeps ~0.7 MiB of hardware-verified headroom for +2 ‰ less than

@@ -278,7 +278,7 @@ def test_tune_relax_tile_resolution(monkeypatch):
     from rustronomy_watershed_tpu.ops.pallas_relax import auto_tile
     from rustronomy_watershed_tpu.ops.tune import relax_tile
 
-    assert relax_tile(4096, 32) == 240   # measured config
+    assert relax_tile(4096, 32) == 320   # measured config (r6 sweep)
     assert relax_tile(4096, 16) is None  # steps mismatch -> auto_tile bound
     assert relax_tile(4000, 32) is None  # non-bucket width -> auto_tile bound
     # measured tiles must respect the pipelined-write constraint
@@ -296,9 +296,11 @@ def test_tune_relax_tile_resolution(monkeypatch):
         assert t >= s and t % 8 == 0
         # Measured entries are validated against the un-slacked VMEM model
         # (they sit within the fallback bound's safety slack of the limit,
-        # verified to compile and run on hardware).
+        # verified to compile and run on hardware).  They may legitimately
+        # exceed the generic DEFAULT_TILE cap (r6 tall-tile sweep), so the
+        # fallback comparison lifts the cap.
         assert vmem_model_bytes(w, s, t) <= VMEM_LIMIT_BYTES
-        assert t <= auto_tile(w, s) + 8  # at most one step past the fallback
+        assert t <= auto_tile(w, s, cap=1 << 20) + 8
     monkeypatch.setenv("RWT_RELAX_STEPS", "16")
     assert relax_tile(4096, 16) is None  # manual sweeps bypass the table
 
@@ -321,3 +323,22 @@ def test_fused_scan_tile_cap():
         assert fused <= auto_tile(w, s)
         assert min(t, fused) >= s  # pipelined-write constraint survives
     assert auto_tile(8192, 32, fused_scan=True) < RELAX_TILE_TABLE[8192]
+
+
+def test_tall_table_tile_clamped_by_image_height():
+    """The tile table is keyed by WIDTH; a tall measured tile (1024-wide
+    whole-image band) must never inflate a SHORTER image's padded height —
+    relax_packed_planes clamps to roundup(H, 8) (floor: steps)."""
+    import numpy as np
+
+    from rustronomy_watershed_tpu.ops.pallas_relax import relax_packed_planes
+    from rustronomy_watershed_tpu.ops.tune import relax_steps, relax_tile
+
+    s = relax_steps(1024)
+    assert relax_tile(1024, s) == 1024  # the tall measured entry
+    img = np.random.default_rng(0).integers(0, 255, (256, 1024)).astype(np.uint8)
+    lab0 = np.zeros((256, 1024), np.int32)
+    lab0[5, 7] = 1
+    key, lab, p, tile = relax_packed_planes(img, lab0, interpret=True)
+    assert tile == 256  # clamped to the image height, not the table's 1024
+    assert key.shape[0] == 256 + 2 * p  # h2 == h — no row inflation
