@@ -276,10 +276,17 @@ def _relax_kernel(
         # discarded and re-exchanged each round, so counting them would block
         # convergence forever).  The `rest`-loop gate stays UNMASKED: a
         # halo-only change in sweep j can reach the centre in sweep j+1.
+        # Centre weight plane for the fused change reduction (see one_sweep):
+        # 2 on centre rows (and, in tiled use, centre columns), 1 elsewhere —
+        # ONE max-reduction then yields both "any window change" (> 0) and
+        # "any centre change" (> 1) instead of two separate reductions.
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0)
+        centre = (rows_w >= p) & (rows_w < p + t)
         if ctr_cols is not None:
             lo, hi = ctr_cols
-            cols = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
-            colmask = (cols >= lo) & (cols < hi)
+            cols_w = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+            centre = centre & (cols_w >= lo) & (cols_w < hi)
+        chg_weight = jnp.where(centre, jnp.int32(2), jnp.int32(1))
 
         def rolls(a):
             return (
@@ -306,9 +313,10 @@ def _relax_kernel(
             )
             ext_min = jnp.minimum(kmin + 1, kmin | jnp.int32(_D_MASK))
             best = jnp.minimum(key, jnp.maximum(ext_min, vcand))
-            labmin = jnp.full_like(lab, biglab)
+            labmin = None
             for kq, lq in zip(kq4, lq4):
-                labmin = jnp.minimum(labmin, jnp.where(kq < best, lq, biglab))
+                cand = jnp.where(kq < best, lq, biglab)
+                labmin = cand if labmin is None else jnp.minimum(labmin, cand)
             # Gate on claimed-ness: an UNCLAIMED pixel (best == sentinel —
             # e.g. NEVER_FILL / border / apron) must keep lab = 0 instead of
             # soaking up neighbour labels it can never use.  Donating
@@ -320,11 +328,12 @@ def _relax_kernel(
             new_lab = jnp.where(
                 (labmin == biglab) | (best == jnp.int32(_UNCLAIMED)), lab, labmin
             )
+            # Fused change reduction: one weighted max instead of two anys
+            # (the window/centre flags decode from > 0 / > 1 — chg_weight is
+            # 2 exactly on the centre region).
             chg = (best != key) | (new_lab != lab)
-            chg_ctr = chg[p : p + t, :]
-            if ctr_cols is not None:
-                chg_ctr = chg_ctr & colmask
-            return best, new_lab, jnp.any(chg), jnp.any(chg_ctr)
+            m = jnp.max(jnp.where(chg, chg_weight, jnp.int32(0)))
+            return best, new_lab, m > 0, m > 1
 
         key1, lab1, chg1_win, chg1_ctr = one_sweep(key0, lab0)
 
