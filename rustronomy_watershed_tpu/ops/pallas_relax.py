@@ -700,28 +700,42 @@ def relax_packed_planes(
     call (see relax_fixed_point_fused).
     """
     img = jnp.asarray(img)
-    _, w = img.shape
+    h, w = img.shape
     if steps is None:
         from .tune import relax_steps
 
         steps = relax_steps(w)
+        # Tall stacks (transform_batch piles many cutouts vertically): the
+        # one-call schedule is governed by the MAX claim chain over all the
+        # stacked images, which grows with the count — a width-tuned slim
+        # schedule forces whole extra dense DMA rounds.  Measured on the
+        # 64x1024² stack: steps 24 -> 1337 Mpix/s, 32 -> 1953.
+        if h > 2 * w:
+            steps = max(steps, 32)
     if tile is None:
         # Measured (width, steps) configs first (ops.tune); the VMEM-fit
         # heuristic is only the fallback bound for unmeasured widths.  The
         # table was measured on the segmenting (no-epilogue) kernel, so the
         # fused-scan path additionally caps by its own VMEM bound (the
         # epilogue scratch OOM'd the 8192 table tile — see auto_tile).
-        from .tune import relax_tile
+        # The tile lookup uses the table's own steps (the stack bump above
+        # may exceed it); vmem_model_bytes re-validates at the EFFECTIVE
+        # steps, shrinking if the wider halo would not fit.
+        from .tune import relax_steps, relax_tile
 
-        tile = relax_tile(w, steps) or auto_tile(w, steps)
+        tile = relax_tile(w, relax_steps(w)) or auto_tile(w, steps)
         if fwd_scan:
             tile = min(tile, auto_tile(w, steps, fused_scan=True, cap=tile))
         # Tall table tiles are keyed by WIDTH; never let one inflate a
         # SHORTER image's padded height (h2 = ceil(h/tile)*tile) — e.g. the
         # 1024-wide whole-image tile would double the rows of a 512-tall
         # cutout.  The pipelined write-ordering still needs tile >= steps.
-        h = img.shape[0]
         tile = max(steps, min(tile, -(-h // 8) * 8))
+        while (
+            tile > steps
+            and vmem_model_bytes(w, steps, tile, fwd_scan) > VMEM_LIMIT_BYTES
+        ):
+            tile -= 8
     if labels0 is None:
         from .pallas_pack import pack_domain_fused
 

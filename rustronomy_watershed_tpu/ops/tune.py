@@ -29,7 +29,10 @@ import os
 # width bucket -> steps.  Measured on v5e (see BENCHMARKS.md round 4);
 # validated within ~5% of the best swept config at each size.
 RELAX_STEPS_TABLE: dict[int, int] = {
-    1024: 32,
+    # r6 sweep with the whole-image band (tile 1024): 24/28/32/40 ->
+    # 2084/2066/2060/2033 segmenting, and 24 also wins merging (1607 vs
+    # 1583) — shorter chains at this size make the slimmer halo pay.
+    1024: 24,
     2048: 32,
     4096: 32,
     8192: 32,

@@ -240,7 +240,8 @@ def test_tune_relax_steps_resolution(monkeypatch):
 
     assert relax_steps(4096) == 32
     assert relax_steps(4097) == 32   # next bucket (8192)
-    assert relax_steps(100) == 32    # below the table -> nearest bucket
+    assert relax_steps(1024) == 24   # r6: shorter chains, slimmer halo
+    assert relax_steps(100) == 24    # below the table -> nearest bucket
     assert relax_steps(1 << 20) == 32  # above the table -> nearest bucket
     monkeypatch.setenv("RWT_RELAX_STEPS", "20")
     assert relax_steps(4096) == 24   # env override, rounded UP to 8-mult
