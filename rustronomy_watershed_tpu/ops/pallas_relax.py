@@ -685,6 +685,63 @@ def relax_fixed_point_fused(
     return key, lab, y0, y0_valid
 
 
+def resolve_relax_config(
+    h: int, w: int, *, steps=None, tile=None, fwd_scan: bool = False
+) -> tuple[int, int]:
+    """Resolve the (steps, tile) schedule for an (h, w) domain.
+
+    Contracts (pinned by test_resolution_contracts):
+
+    * resolved steps come from the width bucket (ops.tune.relax_steps),
+      with a LARGE-AREA bump to >= 32 when h > 2·w: the one-call schedule
+      must cover the MAX claim chain over the whole domain, which grows
+      with area — both for transform_batch stacks (the max over 64 piled
+      cutouts beats any one image's typical chain; measured: the
+      width-tuned steps 24 forces whole extra dense DMA rounds on the
+      64×1024² stack, 1337 vs 1953 Mpix/s) and for tall single mosaics;
+    * the measured tile table is looked up at the TABLE's steps when steps
+      were resolved (so the area bump keeps the measured tile,
+      re-validated against the VMEM model at the effective steps), but at
+      the CALLER's steps when explicit — a steps sweep gets steps-matched
+      auto tiles, never a table tile measured at other steps;
+    * an RWT_RELAX_TILE env override is honoured VERBATIM (no fused cap,
+      height clamp, or model shrink) — perf sweeps must measure the
+      configuration they name; a too-big tile fails loudly at Mosaic
+      compile time;
+    * the fused-scan (merging) path caps by its own VMEM bound (the
+      epilogue scratch OOM'd the segmenting-measured 8192 tile), and tall
+      width-keyed tiles are clamped by the image height so they never
+      inflate a shorter image's padded rows.
+    """
+    import os as _os
+
+    from .tune import relax_steps, relax_tile
+
+    steps_explicit = steps is not None
+    if steps is None:
+        steps = relax_steps(w)
+        if h > 2 * w:
+            steps = max(steps, 32)
+    if tile is None:
+        if _os.environ.get("RWT_RELAX_TILE"):
+            tile = relax_tile(w, steps)
+        else:
+            lookup_steps = steps if steps_explicit else relax_steps(w)
+            tile = relax_tile(w, lookup_steps) or auto_tile(w, steps)
+            if fwd_scan:
+                tile = min(
+                    tile, auto_tile(w, steps, fused_scan=True, cap=tile)
+                )
+            tile = max(steps, min(tile, -(-h // 8) * 8))
+            while (
+                tile > steps
+                and vmem_model_bytes(w, steps, tile, fwd_scan)
+                > VMEM_LIMIT_BYTES
+            ):
+                tile -= 8
+    return steps, tile
+
+
 def relax_packed_planes(
     img, labels0, *, tile=None, steps=None, interpret=False, fwd_scan=False
 ):
@@ -701,41 +758,7 @@ def relax_packed_planes(
     """
     img = jnp.asarray(img)
     h, w = img.shape
-    if steps is None:
-        from .tune import relax_steps
-
-        steps = relax_steps(w)
-        # Tall stacks (transform_batch piles many cutouts vertically): the
-        # one-call schedule is governed by the MAX claim chain over all the
-        # stacked images, which grows with the count — a width-tuned slim
-        # schedule forces whole extra dense DMA rounds.  Measured on the
-        # 64x1024² stack: steps 24 -> 1337 Mpix/s, 32 -> 1953.
-        if h > 2 * w:
-            steps = max(steps, 32)
-    if tile is None:
-        # Measured (width, steps) configs first (ops.tune); the VMEM-fit
-        # heuristic is only the fallback bound for unmeasured widths.  The
-        # table was measured on the segmenting (no-epilogue) kernel, so the
-        # fused-scan path additionally caps by its own VMEM bound (the
-        # epilogue scratch OOM'd the 8192 table tile — see auto_tile).
-        # The tile lookup uses the table's own steps (the stack bump above
-        # may exceed it); vmem_model_bytes re-validates at the EFFECTIVE
-        # steps, shrinking if the wider halo would not fit.
-        from .tune import relax_steps, relax_tile
-
-        tile = relax_tile(w, relax_steps(w)) or auto_tile(w, steps)
-        if fwd_scan:
-            tile = min(tile, auto_tile(w, steps, fused_scan=True, cap=tile))
-        # Tall table tiles are keyed by WIDTH; never let one inflate a
-        # SHORTER image's padded height (h2 = ceil(h/tile)*tile) — e.g. the
-        # 1024-wide whole-image tile would double the rows of a 512-tall
-        # cutout.  The pipelined write-ordering still needs tile >= steps.
-        tile = max(steps, min(tile, -(-h // 8) * 8))
-        while (
-            tile > steps
-            and vmem_model_bytes(w, steps, tile, fwd_scan) > VMEM_LIMIT_BYTES
-        ):
-            tile -= 8
+    steps, tile = resolve_relax_config(h, w, steps=steps, tile=tile, fwd_scan=fwd_scan)
     if labels0 is None:
         from .pallas_pack import pack_domain_fused
 

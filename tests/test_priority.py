@@ -326,6 +326,40 @@ def test_fused_scan_tile_cap():
     assert auto_tile(8192, 32, fused_scan=True) < RELAX_TILE_TABLE[8192]
 
 
+def test_resolution_contracts(monkeypatch):
+    """Config-resolution contracts of resolve_relax_config (r6 review):
+    (a) an explicit steps kwarg must NOT pick up a table tile measured at
+    other steps (steps-mismatch -> steps-matched auto tile);
+    (b) an RWT_RELAX_TILE override is honoured VERBATIM — no fused cap,
+    height clamp, or VMEM-model shrink (sweeps measure what they name);
+    (c) a tall domain (area > 2·w²) bumps resolved steps to >= 32 but keeps
+    the width bucket's measured tile (re-validated against the VMEM
+    model at the effective steps)."""
+    from rustronomy_watershed_tpu.ops.pallas_relax import resolve_relax_config
+
+    # (a) explicit steps=8 at a table width: table (1024 -> tile 1024 @
+    # steps 24) must not apply; the steps-matched auto tile is then
+    # height-clamped to the 64-row image.
+    assert resolve_relax_config(64, 1024, steps=8) == (8, 64)
+    assert resolve_relax_config(4096, 4096, steps=16) == (16, 256)
+    # (b) env tile override is used verbatim (no height clamp to 64, no
+    # VMEM shrink even for tiles the model would reject).
+    monkeypatch.setenv("RWT_RELAX_TILE", "96")
+    assert resolve_relax_config(64, 1024, steps=8) == (8, 96)
+    monkeypatch.setenv("RWT_RELAX_TILE", "160")
+    monkeypatch.setenv("RWT_RELAX_STEPS", "32")
+    assert resolve_relax_config(8192, 8192) == (32, 160)  # hardware-proven
+    monkeypatch.delenv("RWT_RELAX_TILE")
+    monkeypatch.delenv("RWT_RELAX_STEPS")
+    # (c) tall stack / mosaic: steps bumped, measured width tile kept.
+    assert resolve_relax_config(64 * 1026, 1024) == (32, 1024)
+    assert resolve_relax_config(4096, 1024) == (32, 1024)
+    # square table widths resolve to their measured configs
+    assert resolve_relax_config(1024, 1024) == (24, 1024)
+    assert resolve_relax_config(8192, 8192) == (32, 152)
+    assert resolve_relax_config(8192, 8192, fwd_scan=True) == (32, 136)
+
+
 def test_tall_table_tile_clamped_by_image_height():
     """The tile table is keyed by WIDTH; a tall measured tile (1024-wide
     whole-image band) must never inflate a SHORTER image's padded height —
