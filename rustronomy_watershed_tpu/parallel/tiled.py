@@ -42,7 +42,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..constants import INT32_MAX, NEVER_FILL, UNCOLOURED
 from ..ops.flood import flood_sweep
 from ..ops.priority import relax_sweep
-from .halo import exchange_halo, global_interior_mask
+from .halo import exchange_halo, global_interior_mask, refresh_halo_padded
 
 _BIG = jnp.int32(INT32_MAX)
 _BIG_L = NEVER_FILL + 1
@@ -349,21 +349,40 @@ def _local_relax_pallas_driver(
     key0 = jnp.where(lab0 != UNCOLOURED, jnp.int32(0), unclaimed)
     gy = h // band_tile
     active = jnp.ones((gy,), jnp.int32)
-    pad_cols = ((0, 0), (0, 0), (0, wp - (w + 2 * k)))
+
+    # State lives in the kernel's PADDED geometry across rounds; each round
+    # only refreshes the thin halo band (refresh_halo_padded) instead of
+    # re-concatenating + re-padding full planes, so the kernel's in-place
+    # aliasing keeps per-round HBM traffic at strips + windows (measured at
+    # 4096² on a 1x1 hardware mesh: the full-plane repack variant cost an
+    # extra ~4 plane passes per round).  Lane-padding / halo cells
+    # accumulate wrap-ghost corruption between refreshes; that is safe for
+    # the same reason the old discard-and-repad was: ghost influence moves
+    # <= 1 px per sweep, so reaching a CENTRE cell from the padding (>= k+1
+    # cells away) cannot happen within one k-sweep round, and every halo
+    # cell (<= k away) is overwritten by the next refresh — including
+    # off-grid halos at mesh edges, which are re-filled every round.
+    hp = h + 2 * k
+    key_pad = jnp.full((b, hp, wp), unclaimed, dtype=jnp.int32)
+    key_pad = jax.lax.dynamic_update_slice(key_pad, key0, (0, k, k))
+    lab_pad = jnp.zeros((b, hp, wp), dtype=jnp.int32)
+    lab_pad = jax.lax.dynamic_update_slice(lab_pad, lab0, (0, k, k))
 
     def body(state):
-        (key, lab), _ = state
-        keyp = exchange_halo(key, k, axis_y, axis_x, off_grid_fill=pr._UNCLAIMED)
-        labp = exchange_halo(lab, k, axis_y, axis_x, off_grid_fill=UNCOLOURED)
-        keyp = jnp.pad(keyp, pad_cols, constant_values=pr._UNCLAIMED)
-        labp = jnp.pad(labp, pad_cols, constant_values=UNCOLOURED)
+        key_pad, lab_pad, _ = state
+        key_pad = refresh_halo_padded(
+            key_pad, k, h, w, axis_y, axis_x, off_grid_fill=pr._UNCLAIMED
+        )
+        lab_pad = refresh_halo_padded(
+            lab_pad, k, h, w, axis_y, axis_x, off_grid_fill=UNCOLOURED
+        )
         changed = jnp.int32(0)
         keys, labs = [], []
         for i in range(b):  # B is small and static; sequential kernel calls
             k2, l2, flags, _ = pr.relax_block(
                 v_pad[i],
-                keyp[i],
-                labp[i],
+                key_pad[i],
+                lab_pad[i],
                 active,
                 tile=band_tile,
                 steps=k,
@@ -371,15 +390,17 @@ def _local_relax_pallas_driver(
                 pipelined=True,
                 ctr_cols=(k, k + w),
             )
-            keys.append(k2[k : k + h, k : k + w])
-            labs.append(l2[k : k + h, k : k + w])
+            keys.append(k2)
+            labs.append(l2)
             changed = changed | jnp.any(flags != 0).astype(jnp.int32)
         glob = lax.psum(changed, control_axes) > 0
-        return (jnp.stack(keys), jnp.stack(labs)), glob
+        return jnp.stack(keys), jnp.stack(labs), glob
 
-    (key, lab), _ = lax.while_loop(
-        lambda s: s[1], body, ((key0, lab0), jnp.bool_(True))
+    key_pad, lab_pad, _ = lax.while_loop(
+        lambda s: s[2], body, (key_pad, lab_pad, jnp.bool_(True))
     )
+    key = jax.lax.slice(key_pad, (0, k, k), (b, k + h, k + w))
+    lab = jax.lax.slice(lab_pad, (0, k, k), (b, k + h, k + w))
     L = jnp.where(
         key == unclaimed,
         jnp.int32(_BIG_L),
