@@ -78,6 +78,7 @@ def refresh_halo_padded(
     axis_y: str,
     axis_x: str,
     off_grid_fill=0,
+    return_strips: bool = False,
 ):
     """Refresh the k-px halo band of a LANE-PADDED local plane in place.
 
@@ -95,6 +96,11 @@ def refresh_halo_padded(
     mirroring ``exchange_halo``'s composition.  Off-grid halos (mesh edge)
     are overwritten with ``off_grid_fill`` every call, which also clears
     any ghost corruption they accumulated during the preceding sweeps.
+
+    ``return_strips=True`` additionally returns the four incoming strips
+    (up, down, left, right) so a round loop can detect halo STABILITY by
+    comparing them with the previous round's strips — the basis of the
+    witness+halo-stability convergence protocol (parallel.tiled).
     """
     ny = lax.axis_size(axis_y)
     nx = lax.axis_size(axis_x)
@@ -119,6 +125,8 @@ def refresh_halo_padded(
     from_right = jnp.where(ix < nx - 1, from_right, fill)
     plane = lax.dynamic_update_slice(plane, from_left, lead + (0, 0))
     plane = lax.dynamic_update_slice(plane, from_right, lead + (0, k + w))
+    if return_strips:
+        return plane, (from_up, from_down, from_left, from_right)
     return plane
 
 

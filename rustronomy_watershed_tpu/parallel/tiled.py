@@ -321,11 +321,20 @@ def _local_relax_pallas_driver(
       wrap-ghost corruption per sweep from the window edge, penetrating at
       most k-1 < k columns into the halo) and are cropped + re-exchanged
       every round.
-    * convergence: declared only on a round in which NO band centre changed
-      over CENTRE columns in any tile (the kernel's ctr_cols mask).  In such
-      a round every real pixel is some tile's band-centre pixel whose sweep-1
-      update read fresh-exchanged neighbour values and changed nothing — a
-      global Jacobi fixed point.
+    * convergence — WITNESS + HALO STABILITY: a tile needs another round
+      iff its last call's pipelined convergence witness did not certify
+      (ops/pallas_relax.py: last-sweep centre quiescence over a
+      Jacobi-consistent call certifies the tile's fixed point GIVEN its
+      call-start halos) or the end-of-round refresh changed any incoming
+      halo strip.  When psum(need) == 0, every tile is certified w.r.t.
+      halo values that are still the neighbours' current centre values —
+      i.e. every real pixel satisfies its update equation against current
+      neighbours: the global fixed point.  No trailing observe-quiescence
+      round is needed (the previous change-flag protocol required one full
+      extra round to SEE quiescence; on a 1x1 mesh this protocol halves
+      the round count).  Strip stability is judged against the previous
+      round's INCOMING strips, not in-plane halo content (which carries
+      the sweeps' ghost corruption between refreshes).
     """
     from ..ops import pallas_relax as pr
 
@@ -368,21 +377,44 @@ def _local_relax_pallas_driver(
     lab_pad = jnp.zeros((b, hp, wp), dtype=jnp.int32)
     lab_pad = jax.lax.dynamic_update_slice(lab_pad, lab0, (0, k, k))
 
-    def body(state):
-        key_pad, lab_pad, _ = state
-        key_pad = refresh_halo_padded(
-            key_pad, k, h, w, axis_y, axis_x, off_grid_fill=pr._UNCLAIMED
+    # Convergence protocol: WITNESS + HALO STABILITY.  A tile needs another
+    # round iff (a) its last kernel call's pipelined convergence witness did
+    # not certify its local fixed point, or (b) the end-of-round refresh
+    # changed any of its incoming halo strips (compared against the previous
+    # round's strips — comparing against in-plane halo content would see the
+    # sweeps' ghost corruption).  When psum(need) == 0, every tile is
+    # certified w.r.t. halo values that are STILL the neighbours' current
+    # centre values — a global fixed point, with no trailing
+    # observe-quiescence round (the old protocol needed a fully change-free
+    # round to stop; on a 1x1 mesh this halves the round count).  Tiles
+    # with need=False skip their kernel call entirely (all-inactive sparse
+    # call: zero window DMA) but still participate in every collective.
+    def _refresh_strips(kp, lp):
+        kp, ks = refresh_halo_padded(
+            kp, k, h, w, axis_y, axis_x,
+            off_grid_fill=pr._UNCLAIMED, return_strips=True,
         )
-        lab_pad = refresh_halo_padded(
-            lab_pad, k, h, w, axis_y, axis_x, off_grid_fill=UNCOLOURED
+        lp, ls = refresh_halo_padded(
+            lp, k, h, w, axis_y, axis_x,
+            off_grid_fill=UNCOLOURED, return_strips=True,
         )
-        changed = jnp.int32(0)
+        return kp, lp, ks + ls
+
+    def _strips_changed(old, new):
+        c = jnp.bool_(False)
+        for a, bnew in zip(old, new):
+            c = c | jnp.any(a != bnew)
+        return c
+
+    def _run(args):
+        kp, lp = args
+        nc = jnp.bool_(False)
         keys, labs = [], []
         for i in range(b):  # B is small and static; sequential kernel calls
-            k2, l2, flags, _ = pr.relax_block(
+            k2, l2, _, nc_i = pr.relax_block(
                 v_pad[i],
-                key_pad[i],
-                lab_pad[i],
+                kp[i],
+                lp[i],
                 active,
                 tile=band_tile,
                 steps=k,
@@ -392,12 +424,47 @@ def _local_relax_pallas_driver(
             )
             keys.append(k2)
             labs.append(l2)
-            changed = changed | jnp.any(flags != 0).astype(jnp.int32)
-        glob = lax.psum(changed, control_axes) > 0
-        return jnp.stack(keys), jnp.stack(labs), glob
+            nc = nc | nc_i
+        return jnp.stack(keys), jnp.stack(labs), nc
 
-    key_pad, lab_pad, _ = lax.while_loop(
-        lambda s: s[2], body, (key_pad, lab_pad, jnp.bool_(True))
+    def _skip(args):
+        kp, lp = args
+        idle = jnp.zeros((gy,), jnp.int32)
+        keys, labs = [], []
+        for i in range(b):
+            # All-inactive SPARSE call: no window DMA, no compute — the
+            # aliased planes pass through; certified state is preserved.
+            k2, l2, _, _ = pr.relax_block(
+                v_pad[i],
+                kp[i],
+                lp[i],
+                idle,
+                tile=band_tile,
+                steps=k,
+                interpret=interpret,
+                pipelined=False,
+                ctr_cols=(k, k + w),
+            )
+            keys.append(k2)
+            labs.append(l2)
+        return jnp.stack(keys), jnp.stack(labs), jnp.bool_(False)
+
+    key_pad, lab_pad, strips = _refresh_strips(key_pad, lab_pad)
+
+    def body(state):
+        key_pad, lab_pad, strips, need, _ = state
+        key_pad, lab_pad, nc = lax.cond(
+            need, _run, _skip, (key_pad, lab_pad)
+        )
+        key_pad, lab_pad, strips2 = _refresh_strips(key_pad, lab_pad)
+        need2 = nc | _strips_changed(strips, strips2)
+        glob = lax.psum(need2.astype(jnp.int32), control_axes) > 0
+        return key_pad, lab_pad, strips2, need2, glob
+
+    key_pad, lab_pad, _, _, _ = lax.while_loop(
+        lambda s: s[4],
+        body,
+        (key_pad, lab_pad, strips, jnp.bool_(True), jnp.bool_(True)),
     )
     key = jax.lax.slice(key_pad, (0, k, k), (b, k + h, k + w))
     lab = jax.lax.slice(lab_pad, (0, k, k), (b, k + h, k + w))
