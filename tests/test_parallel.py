@@ -604,3 +604,50 @@ def test_mesh_merging_to_list_differential(rng, trial):
     for (lw, cw), (lg, cg) in zip(want, got):
         assert lw == lg
         np.testing.assert_array_equal(cg, cw, err_msg=f"trial {trial} lvl {lw}")
+
+
+def test_refresh_halo_padded_matches_exchange_halo(rng):
+    """refresh_halo_padded on a lane-padded plane must leave the (h+2k, w+2k)
+    halo-extended region identical to exchange_halo of the centre tile —
+    the equivalence the strip-refresh round loop (tiled relax_pallas)
+    relies on — and the returned strips must equal what it wrote."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rustronomy_watershed_tpu.parallel.halo import (
+        exchange_halo,
+        refresh_halo_padded,
+    )
+
+    k, h, w, wp = 4, 16, 24, 64  # lane-padded width > w + 2k
+    ny, nx = 2, 2
+    devs = np.asarray(jax.devices()[: ny * nx]).reshape(ny, nx)
+    mesh = Mesh(devs, ("y", "x"))
+    tiles = rng.integers(0, 1 << 20, size=(ny * h, nx * w)).astype(np.int32)
+
+    def local(tile):
+        # stale-garbage padded plane: halo/padding filled with junk that the
+        # refresh must fully overwrite in the halo band
+        plane = jnp.full((h + 2 * k, wp), jnp.int32(-7))
+        plane = jax.lax.dynamic_update_slice(plane, tile, (k, k))
+        plane, strips = refresh_halo_padded(
+            plane, k, h, w, "y", "x", off_grid_fill=99, return_strips=True
+        )
+        want = exchange_halo(tile, k, "y", "x", off_grid_fill=99)
+        ok_region = jnp.all(plane[:, : w + 2 * k] == want)
+        ok_strips = (
+            jnp.all(strips[0] == want[:k, k : k + w])
+            & jnp.all(strips[1] == want[k + h :, k : k + w])
+            & jnp.all(strips[2] == want[:, :k])
+            & jnp.all(strips[3] == want[:, k + w :])
+        )
+        # lane padding beyond w+2k stays untouched
+        ok_pad = jnp.all(plane[:, w + 2 * k :] == jnp.int32(-7))
+        return (ok_region & ok_strips & ok_pad)[None]
+
+    oks = shard_map(
+        local, mesh=mesh, in_specs=P("y", "x"), out_specs=P(("y", "x")),
+    )(jnp.asarray(tiles))
+    assert np.asarray(oks).all()
