@@ -644,7 +644,7 @@ def tiled_transform(
     n_labels: int,
     max_water_level: int,
     merging: bool = False,
-    halo: int = 4,
+    halo: int | None = None,
     collect: str = "none",
     axis_y: str = "y",
     axis_x: str = "x",
@@ -667,6 +667,12 @@ def tiled_transform(
     geometry allows it, the jnp engine otherwise — and the per-level sweep
     loop for merging statistics.  All are bit-identical to the single-device
     drivers.
+
+    ``halo=None`` picks a schedule-aware width: up to the tuned fused-sweep
+    count for the per-device tile width (ops.tune.relax_steps — the relax
+    engines run k local sweeps per exchange, so a tuned-k halo converges in
+    ~one exchange round per claim-chain length), clamped to the local tile
+    extents.  Pass an explicit k to trade strip width against round count.
     """
     img = jnp.asarray(img)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
@@ -680,6 +686,11 @@ def tiled_transform(
     img, labels0 = _mesh_pad(img, labels0, ny, nx)
     _, gh2, gw2 = img.shape
     h_local, w_local = gh2 // ny, gw2 // nx
+
+    if halo is None:
+        from ..ops.tune import relax_steps
+
+        halo = max(1, min(relax_steps(w_local), h_local, w_local))
 
     on_tpu = next(iter(mesh.devices.flat)).platform == "tpu"
     if backend == "auto":
