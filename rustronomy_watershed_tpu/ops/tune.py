@@ -52,10 +52,11 @@ RELAX_TILE_TABLE: dict[int, int] = {
     # tile never inflates a shorter image):
     # 1024: 256/512/1024 -> 1966/2017/2043 (whole image, one band).
     1024: 1024,
-    # 2048: 384/512 -> 1873/1990 both lose to 256's 2001 — keep 256.
+    # 2048: 320/384/512 -> 1861/1873/1990 all lose to 256's 2001 — keep 256.
     2048: 256,
     # 4096: 240 -> 256 -> 320 = 1845.9 -> 1857.6 -> 1912.6 segmenting
-    # (merging 1541.6 -> 1542.0, neutral); 384 does not fit.
+    # (merging 1541.6 -> 1542.0, neutral); 352 regresses to 1862 (VMEM
+    # pressure near the ceiling), 384 does not fit.
     4096: 320,
     # r6 sweep at the 123 MiB scoped-VMEM limit (VMEM_LIMIT_BYTES):
     # 136/144/152/160 -> 1691/1740/1781/1784 Mpix/s; 168 does not fit.
