@@ -529,8 +529,24 @@ class _WatershedBase(WatershedUtils):
 
     def transform_history(self, input_img, seeds) -> list[tuple[int, np.ndarray]]:
         """Per-level label snapshots (src/lib.rs:1233-1237); memory-heavy:
-        (levels, H, W) int32 accumulated on device."""
-        if self._needs_host_loop():
+        (levels, H, W) int32 accumulated on device — the reference carries
+        the same ×max_water_level factor in host RAM (src/lib.rs:1229-1232).
+
+        Images whose device snapshot stack would not fit HBM (e.g. 4096²
+        at 255 levels = 17 GB on a 16 GB chip) automatically route through
+        the host-stepped loop, which ships one label plane per level and
+        accumulates in host RAM instead."""
+        route_host = self._needs_host_loop()
+        if not route_host:
+            levels = self.max_water_level + 1
+            stack_bytes = 4 * levels * int(np.prod(np.asarray(input_img).shape))
+            shards = 1
+            if self.mesh is not None:
+                shards = int(np.prod(list(self.mesh.shape.values())))
+            # Conservative per-device HBM budget: the transform itself needs
+            # a few plane-sized buffers on top of the snapshot stack.
+            route_host = stack_bytes // shards > 8 * 1024**3
+        if route_host:
             return self._clone_with_hook(
                 lambda ctx: (ctx.water_level, ctx.colours.copy())
             )._host_stepped(input_img, seeds)
