@@ -539,7 +539,9 @@ class _WatershedBase(WatershedUtils):
         route_host = self._needs_host_loop()
         if not route_host:
             levels = self.max_water_level + 1
-            stack_bytes = 4 * levels * int(np.prod(np.asarray(input_img).shape))
+            # np.shape, NOT np.asarray(...).shape: the latter would force a
+            # full device->host copy of a device array just to read a shape.
+            stack_bytes = 4 * levels * int(np.prod(np.shape(input_img)))
             shards = 1
             if self.mesh is not None:
                 shards = int(np.prod(list(self.mesh.shape.values())))

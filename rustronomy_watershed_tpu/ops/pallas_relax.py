@@ -739,6 +739,20 @@ def resolve_relax_config(
                 > VMEM_LIMIT_BYTES
             ):
                 tile -= 8
+            if vmem_model_bytes(w, steps, tile, fwd_scan) > VMEM_LIMIT_BYTES:
+                # Even the minimum window (tile == steps) exceeds the VMEM
+                # model: the image is too wide for a full-width band at this
+                # schedule.  Fail here with a geometry hint instead of an
+                # opaque Mosaic scoped-allocation OOM at compile time.
+                raise ValueError(
+                    f"image width {w} cannot fit a full-width relax band in "
+                    f"VMEM even at the minimum window (tile == steps == "
+                    f"{steps}: "
+                    f"{vmem_model_bytes(w, steps, tile, fwd_scan)} B > "
+                    f"{VMEM_LIMIT_BYTES} B). Split the image into column "
+                    "tiles (parallel.tiled_transform with an x-axis mesh) "
+                    "or reduce steps."
+                )
     return steps, tile
 
 

@@ -37,7 +37,10 @@ def main():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 254, size=(size, size)).astype(np.uint8)
 
-    # Seeds as the builder derives them (host strict-local-maxima, Q1).
+    # Seeds as the builder derives them (host strict-local-maxima, Q1) —
+    # the SAME criterion bench.py's e2e path computes on device (the fused
+    # pack kernel / ops.seeds.local_extrema_mask 'reference' mode), so
+    # (dense − tiled) is a pure mesh-overhead comparison on one workload.
     hh, ww = img.shape
     ok = np.ones((hh - 2, ww - 2), dtype=bool)
     centre = img[1:-1, 1:-1]
