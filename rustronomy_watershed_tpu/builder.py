@@ -57,6 +57,8 @@ class TransformBuilder:
         self.mesh = None
         self.checkpoint_dir = None
         self.checkpoint_every = 16
+        self.tie_break = "min"
+        self.tie_break_seed = 0
 
     # ``new()`` and ``default()`` both exist in the reference purely to work
     # around Rust type inference (src/lib.rs:875-892); kept as aliases.
@@ -113,6 +115,25 @@ class TransformBuilder:
         self.backend = backend
         return self
 
+    def set_tie_break(self, mode: str, seed: int = 0) -> "TransformBuilder":
+        """Plateau tie-break rule when a floodable pixel has differently
+        coloured 4-neighbours.
+
+        ``'min'`` (default): the minimum label wins — the pinned
+        deterministic rule every engine implements (SURVEY.md Q2).
+        ``'random'``: a uniformly-random coloured 4-neighbour position wins,
+        reproducing the reference's thread_rng behaviour distributionally
+        (src/lib.rs:249-253) but reproducibly (jax.random keyed by ``seed``)
+        — e.g. for sensitivity analysis of lake statistics under plateau
+        partitioning.  Runs on the jnp level-sweep engine (the relaxation
+        engines are inherently min-label), single-device, and is mutually
+        exclusive with ``set_sweep_impl``."""
+        if mode not in ("min", "random"):
+            raise ValueError(f"unknown tie-break mode {mode!r}")
+        self.tie_break = mode
+        self.tie_break_seed = int(seed)
+        return self
+
     def set_checkpoint(self, directory, every: int = 16) -> "TransformBuilder":
         """Snapshot (water_level, labels) every N levels (orbax) on the
         host-stepped path and resume bit-exactly from the newest snapshot
@@ -135,6 +156,22 @@ class TransformBuilder:
             raise BuildErr(BuildErr.MAX_TOO_HIGH, self.max_water_level)
         if self.max_water_level <= ALWAYS_FILL:
             raise BuildErr(BuildErr.MAX_TOO_LOW, self.max_water_level)
+        if self.tie_break == "random":
+            if self.sweep_fn is not None:
+                raise ValueError(
+                    "set_tie_break('random') replaces the flood sweep and is "
+                    "mutually exclusive with set_sweep_impl"
+                )
+            if self.backend not in ("auto", "jnp"):
+                raise ValueError(
+                    "set_tie_break('random') runs on the jnp level-sweep "
+                    f"engine; backend {self.backend!r} is min-label only"
+                )
+            if self.mesh is not None:
+                raise ValueError(
+                    "set_tie_break('random') is single-device (the tiled "
+                    "engines pin the min-label rule)"
+                )
 
     def _kwargs(self):
         return dict(
@@ -150,6 +187,8 @@ class TransformBuilder:
             mesh=self.mesh,
             checkpoint_dir=self.checkpoint_dir,
             checkpoint_every=self.checkpoint_every,
+            tie_break=self.tie_break,
+            tie_break_seed=self.tie_break_seed,
         )
 
     def build_merging(self) -> MergingWatershed:

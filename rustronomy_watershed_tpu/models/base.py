@@ -134,6 +134,8 @@ class _WatershedBase(WatershedUtils):
         mesh=None,
         checkpoint_dir=None,
         checkpoint_every: int = 16,
+        tie_break: str = "min",
+        tie_break_seed: int = 0,
     ):
         self.max_water_level = int(max_water_level)
         self.edge_correction = bool(edge_correction)
@@ -147,6 +149,30 @@ class _WatershedBase(WatershedUtils):
         self.mesh = mesh
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        self.tie_break = tie_break
+        self.tie_break_seed = tie_break_seed
+        # Per-shape cache of the bound stochastic sweep (a stable object per
+        # shape so jit's static sweep_fn arg hits its compile cache).
+        self._tie_sweep_cache: dict = {}
+
+    def _effective_sweep_fn(self, shape):
+        """The flood sweep the level-sweep engines should run: the user's
+        override, or the jax.random-keyed stochastic tie-break sweep when
+        ``set_tie_break('random', seed)`` is configured (SURVEY.md Q2 —
+        reference src/lib.rs:249-253)."""
+        if self.tie_break != "random":
+            return self.sweep_fn
+        key = tuple(shape)
+        fn = self._tie_sweep_cache.get(key)
+        if fn is None:
+            from ..ops.flood import flood_sweep_random
+
+            u = jax.random.uniform(
+                jax.random.PRNGKey(self.tie_break_seed), key, dtype=jnp.float32
+            )
+            fn = partial(flood_sweep_random, u=u)
+            self._tie_sweep_cache[key] = fn
+        return fn
 
     def _resolved_backend(self, collect: str = "none") -> str:
         """'auto': the priority-relaxation engine wherever it applies
@@ -159,6 +185,11 @@ class _WatershedBase(WatershedUtils):
             return "jnp"
         if self.backend != "auto":
             return self.backend
+        if self.tie_break == "random":
+            # The relaxation and Pallas engines are structurally min-label;
+            # the stochastic rule runs on the jnp level sweep (builder
+            # validation already restricts the combination).
+            return "jnp"
         cpu = jax.default_backend() == "cpu"
         if not self._merging or collect in ("none", "sizes"):
             return "relax" if cpu else "relax_pallas"
@@ -180,6 +211,8 @@ class _WatershedBase(WatershedUtils):
             mesh=self.mesh,
             checkpoint_dir=self.checkpoint_dir,
             checkpoint_every=self.checkpoint_every,
+            tie_break=self.tie_break,
+            tie_break_seed=self.tie_break_seed,
         )
 
     def _prepare(self, input_img, seeds):
@@ -268,7 +301,7 @@ class _WatershedBase(WatershedUtils):
             max_water_level=self.max_water_level,
             merging=self._merging,
             collect="none",
-            sweep_fn=self.sweep_fn,
+            sweep_fn=self._effective_sweep_fn(img.shape),
             backend=self._resolved_backend(),
         )
         return out(labels)
@@ -287,6 +320,11 @@ class _WatershedBase(WatershedUtils):
         imgs = np.asarray(input_imgs, dtype=np.uint8)
         if imgs.ndim != 3:
             raise ValueError("transform_batch expects (B, H, W)")
+        if self.tie_break == "random":
+            raise NotImplementedError(
+                "set_tie_break('random') is single-image (a batch would "
+                "share one random plane across images); loop transform()"
+            )
         if len(seeds_list) != imgs.shape[0]:
             raise ValueError("one seed list per image required")
         if self.edge_correction:
@@ -388,7 +426,7 @@ class _WatershedBase(WatershedUtils):
                 max_water_level=self.max_water_level,
                 merging=self._merging,
                 collect="none",
-                sweep_fn=self.sweep_fn,
+                sweep_fn=self._effective_sweep_fn(img.shape),
                 backend=self._resolved_backend(),
             )
             return []
@@ -519,7 +557,7 @@ class _WatershedBase(WatershedUtils):
                     max_water_level=self.max_water_level,
                     merging=self._merging,
                     collect="sizes",
-                    sweep_fn=self.sweep_fn,
+                    sweep_fn=self._effective_sweep_fn(img.shape),
                     backend=backend,
                 )
         sizes = np.asarray(sizes)
@@ -574,7 +612,7 @@ class _WatershedBase(WatershedUtils):
             max_water_level=self.max_water_level,
             merging=self._merging,
             collect="history",
-            sweep_fn=self.sweep_fn,
+            sweep_fn=self._effective_sweep_fn(img.shape),
             backend=self._resolved_backend("history"),
         )
         hist = np.asarray(hist)
@@ -613,7 +651,21 @@ class _WatershedBase(WatershedUtils):
             from ..ops.flood import flood_candidates, paint
             from ..ops.merge import merge_touching
 
-            cand_jit = cache_resilient(jax.jit(flood_candidates))
+            if self.tie_break == "random":
+                # Debug split-phase timers under the stochastic rule: the
+                # candidate search returns the random choice instead of the
+                # neighbour min; the paint phase is identical.
+                from ..ops.flood import flood_candidates_random
+
+                u = jax.random.uniform(
+                    jax.random.PRNGKey(self.tie_break_seed),
+                    tuple(img.shape),
+                    dtype=jnp.float32,
+                )
+                cand_fn = partial(flood_candidates_random, u=u)
+            else:
+                cand_fn = flood_candidates
+            cand_jit = cache_resilient(jax.jit(cand_fn))
             paint_jit = cache_resilient(jax.jit(paint))
             merge_jit = (
                 cache_resilient(
@@ -631,7 +683,7 @@ class _WatershedBase(WatershedUtils):
                     level_step_counted if self.progress else level_step,
                     merging=self._merging,
                     n_labels=bucket,
-                    sweep_fn=self.sweep_fn,
+                    sweep_fn=self._effective_sweep_fn(img.shape),
                 )
             ))
 

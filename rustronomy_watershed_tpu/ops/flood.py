@@ -16,6 +16,15 @@ reference picks a uniformly-random coloured neighbour on ties
 pins the documented deterministic tie-break rule *min-label-wins* (SURVEY.md
 Q2).  On tie-free pixels the two rules agree exactly.
 
+An OPT-IN stochastic mode (``TransformBuilder.set_tie_break('random', seed)``)
+reproduces the reference's randomized plateau partition distributionally —
+``flood_sweep_random`` picks uniformly among the coloured 4-neighbour
+*positions* (like the reference's random element of its coloured-neighbour
+list, so a label held by two neighbour positions gets double weight), keyed
+by jax.random so runs are reproducible given the seed.  One uniform draw per
+pixel per transform suffices: a pixel is painted exactly once, so its draw is
+consumed at exactly one sweep, and draws are independent across pixels.
+
 One sweep advances the wavefront by exactly one 4-connected ring, preserving
 the reference's plateau-claiming order (SURVEY.md Q3): within a sweep all
 decisions read the label image from the *start* of the sweep (Jacobi), which
@@ -98,3 +107,40 @@ def flood_candidates(img: jnp.ndarray, labels: jnp.ndarray, lvl, mask=None):
 def paint(labels: jnp.ndarray, cand: jnp.ndarray, nmin: jnp.ndarray) -> jnp.ndarray:
     """The paint phase (src/lib.rs:1428-1436): apply the found candidates."""
     return jnp.where(cand, nmin, labels)
+
+
+def flood_candidates_random(img, labels, lvl, u, mask=None):
+    """``flood_candidates`` with the reference's stochastic tie-break
+    (src/lib.rs:235-254): the painted colour is a uniformly-random coloured
+    4-neighbour *position* instead of the minimum label.
+
+    ``u`` is a per-pixel uniform [0, 1) plane (one draw per pixel per
+    transform — see the module docstring on why that is unbiased).  Returns
+    (cand, choice, any_cand); ``choice`` is only meaningful where ``cand``.
+    """
+    if mask is None:
+        mask = interior_mask(labels.shape[-2:])
+    neigh = roll4(labels)
+    valid = [(n != UNCOLOURED).astype(jnp.int32) for n in neigh]
+    n_valid = valid[0] + valid[1] + valid[2] + valid[3]
+    # j uniform over {0..n_valid-1}; the min() guards the u*n == n float
+    # rounding corner.  n_valid == 0 => j == -1 => no rank matches (cand is
+    # False there anyway: nmin-style "has a coloured neighbour" check below).
+    j = jnp.minimum(
+        (u * n_valid.astype(jnp.float32)).astype(jnp.int32), n_valid - 1
+    )
+    choice = jnp.zeros_like(labels)
+    rank = jnp.zeros_like(n_valid)
+    for v, n in zip(valid, neigh):
+        choice = jnp.where((v > 0) & (rank == j), n, choice)
+        rank = rank + v
+    cand = (labels == UNCOLOURED) & (img <= lvl) & (n_valid > 0) & mask
+    return cand, choice, jnp.any(cand)
+
+
+def flood_sweep_random(img, labels, lvl, *, u, mask=None):
+    """One Jacobi flood sweep under the stochastic tie-break (opt-in via
+    ``set_tie_break('random', seed)``).  Signature-compatible with
+    ``flood_sweep`` once ``u`` is bound (functools.partial)."""
+    cand, choice, _ = flood_candidates_random(img, labels, lvl, u, mask)
+    return paint(labels, cand, choice)
