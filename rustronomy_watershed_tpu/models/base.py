@@ -154,6 +154,21 @@ class _WatershedBase(WatershedUtils):
         # Per-shape cache of the bound stochastic sweep (a stable object per
         # shape so jit's static sweep_fn arg hits its compile cache).
         self._tie_sweep_cache: dict = {}
+        # Testing hook: run Pallas kernels in interpret mode (CPU).  Not a
+        # builder option — hardware users never need it.
+        self._interpret = False
+
+    def _sat_fallback_warn(self):
+        import warnings
+
+        warnings.warn(
+            "relax_pallas d-field saturation detected: a >= 2^23-pixel "
+            "equal-level plateau starved label propagation in the packed-key "
+            "kernel (ops/pallas_relax.py module docstring); re-running on "
+            "the exact relaxation engine (ops.priority, 32-bit ring index)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
     def _effective_sweep_fn(self, shape):
         """The flood sweep the level-sweep engines should run: the user's
@@ -294,16 +309,27 @@ class _WatershedBase(WatershedUtils):
                 merging=self._merging,
             )
             return out(labels)
-        labels = run_levels(
-            img,
-            labels0,
+        backend = self._resolved_backend()
+        kw = dict(
             n_labels=_label_bucket(len(seeds)),
             max_water_level=self.max_water_level,
             merging=self._merging,
             collect="none",
             sweep_fn=self._effective_sweep_fn(img.shape),
-            backend=self._resolved_backend(),
+            interpret=self._interpret,
         )
+        if backend == "relax_pallas":
+            labels, starved = run_levels(
+                img, labels0, backend=backend, with_flags=True, **kw
+            )
+            if bool(starved):
+                # Saturation-safe fallback (VERDICT r2 #4): the packed-key
+                # kernel's 23-bit ring index starved label donation on a
+                # monster plateau — the exact jnp engine has 32-bit rings.
+                self._sat_fallback_warn()
+                labels = run_levels(img, labels0, backend="relax", **kw)
+        else:
+            labels = run_levels(img, labels0, backend=backend, **kw)
         return out(labels)
 
     def transform_batch(self, input_imgs, seeds_list, device_output: bool = False):
@@ -373,15 +399,25 @@ class _WatershedBase(WatershedUtils):
             # on the stacked plane each image's interior rows 0/H-1 are no
             # longer global-border rows, so the component scan would join
             # border-seed pairs the per-image semantics keep apart.
-            out = run_levels(
-                jnp.asarray(imgs.reshape(b * h, w)),
-                labels0.reshape(b * h, w),
+            kw = dict(
                 n_labels=bucket,
                 max_water_level=self.max_water_level,
                 merging=False,
                 collect="none",
-                backend=backend,
             )
+            stacked_img = jnp.asarray(imgs.reshape(b * h, w))
+            stacked_lab = labels0.reshape(b * h, w)
+            if backend == "relax_pallas":
+                out, starved = run_levels(
+                    stacked_img, stacked_lab, backend=backend,
+                    interpret=self._interpret, with_flags=True, **kw
+                )
+                if bool(starved):
+                    # Saturation-safe fallback (see transform).
+                    self._sat_fallback_warn()
+                    out = run_levels(stacked_img, stacked_lab, backend="relax", **kw)
+            else:
+                out = run_levels(stacked_img, stacked_lab, backend=backend, **kw)
             out = jnp.asarray(out).reshape(b, h, w)
             if self._merging:
                 from ..ops.scan_merge import component_min_labels
@@ -542,13 +578,48 @@ class _WatershedBase(WatershedUtils):
                 # level-sweep replay is ~100x slower (ops.merge_curve).
                 from ..ops.merge_curve import relax_merging_sizes
 
-                _, sizes = relax_merging_sizes(
+                _, sizes, starved = relax_merging_sizes(
                     img,
                     labels0,
                     n_labels=bucket,
                     max_water_level=self.max_water_level,
                     backend=backend,
+                    interpret=self._interpret,
                 )
+                if starved:
+                    # Saturation-safe fallback: exact engine (see transform).
+                    self._sat_fallback_warn()
+                    _, sizes, _ = relax_merging_sizes(
+                        img,
+                        labels0,
+                        n_labels=bucket,
+                        max_water_level=self.max_water_level,
+                        backend="relax",
+                    )
+            elif backend == "relax_pallas":
+                _, sizes, starved = run_levels(
+                    img,
+                    labels0,
+                    n_labels=bucket,
+                    max_water_level=self.max_water_level,
+                    merging=self._merging,
+                    collect="sizes",
+                    sweep_fn=None,
+                    backend=backend,
+                    interpret=self._interpret,
+                    with_flags=True,
+                )
+                if bool(starved):
+                    self._sat_fallback_warn()
+                    _, sizes = run_levels(
+                        img,
+                        labels0,
+                        n_labels=bucket,
+                        max_water_level=self.max_water_level,
+                        merging=self._merging,
+                        collect="sizes",
+                        backend="relax",
+                    )
             else:
                 _, sizes = run_levels(
                     img,
@@ -605,16 +676,24 @@ class _WatershedBase(WatershedUtils):
             )
             hist = np.asarray(hist)
             return [(lvl, hist[lvl]) for lvl in range(self.max_water_level + 1)]
-        _, hist = run_levels(
-            img,
-            labels0,
+        backend = self._resolved_backend("history")
+        kw = dict(
             n_labels=_label_bucket(len(seeds)),
             max_water_level=self.max_water_level,
             merging=self._merging,
             collect="history",
             sweep_fn=self._effective_sweep_fn(img.shape),
-            backend=self._resolved_backend("history"),
+            interpret=self._interpret,
         )
+        if backend == "relax_pallas":
+            _, hist, starved = run_levels(
+                img, labels0, backend=backend, with_flags=True, **kw
+            )
+            if bool(starved):
+                self._sat_fallback_warn()
+                _, hist = run_levels(img, labels0, backend="relax", **kw)
+        else:
+            _, hist = run_levels(img, labels0, backend=backend, **kw)
         hist = np.asarray(hist)
         return [(lvl, hist[lvl]) for lvl in range(self.max_water_level + 1)]
 

@@ -134,6 +134,7 @@ def run_levels_impl(
     tile: int | None = None,
     steps: int | None = None,
     interpret: bool = False,
+    with_flags: bool = False,
 ):
     """Run the full transform.
 
@@ -149,6 +150,12 @@ def run_levels_impl(
       tile/steps/interpret: pallas kernel tuning (steps = sweeps fused per
         HBM round-trip; interpret=True runs the kernel on CPU for testing).
         None picks the backend's tuned default (flood 64/8, relax 256/16).
+      with_flags: additionally return a scalar divergence flag as the LAST
+        element — True iff the relax_pallas engine detected d-field
+        saturation (a >= 2^23-px plateau starving label donation;
+        ops.pallas_relax module docstring).  The caller should then re-run
+        on an exact engine.  Constant False for every other backend (their
+        32-bit d cannot saturate on any addressable image).
 
     Returns final labels, or (final labels, collected stack).
 
@@ -156,6 +163,14 @@ def run_levels_impl(
     fused pack kernel derives the seed mask + numbering in-kernel.
     """
     img = jnp.asarray(img).astype(jnp.int32)
+
+    def _flagged(res, flag=None):
+        # Append the divergence flag when requested (see the docstring).
+        if not with_flags:
+            return res
+        flag = jnp.bool_(False) if flag is None else flag
+        return res + (flag,) if isinstance(res, tuple) else (res, flag)
+
     if labels0 is None:
         if backend != "relax_pallas":
             raise ValueError("labels0=None requires backend='relax_pallas'")
@@ -212,19 +227,22 @@ def run_levels_impl(
             from .scan_merge import component_min_from_padded
 
             h, w = img.shape
-            _, lab_pad, p, tile_r, y0, y0_valid = relax_packed_planes(
+            _, lab_pad, p, tile_r, y0, y0_valid, starved = relax_packed_planes(
                 img, labels0, tile=tile, steps=steps, interpret=interpret,
                 fwd_scan=True,
             )
-            return component_min_from_padded(
-                lab_pad, p=p, h=h, w=w, tile=tile_r, interpret=interpret,
-                y0=y0, y0_valid=y0_valid,
+            return _flagged(
+                component_min_from_padded(
+                    lab_pad, p=p, h=h, w=w, tile=tile_r, interpret=interpret,
+                    y0=y0, y0_valid=y0_valid,
+                ),
+                starved,
             )
 
         if backend == "relax_pallas":
             from .pallas_relax import relax_transform_pallas
 
-            labels, claim_levels = relax_transform_pallas(
+            labels, claim_levels, starved = relax_transform_pallas(
                 img, labels0, max_water_level=max_water_level,
                 tile=tile,
                 steps=steps,  # None -> measured schedule (ops.tune)
@@ -234,6 +252,7 @@ def run_levels_impl(
             labels, claim_levels = relax_transform(
                 img, labels0, max_water_level=max_water_level
             )
+            starved = None  # 32-bit d: cannot saturate on addressable images
         if merging:
             # Final merged labels = component-min of the claimed set
             # (ops.scan_merge) — segmented min-scans instead of per-label
@@ -241,21 +260,30 @@ def run_levels_impl(
             # merging time (8 Mpix/s at 4096²).
             from .scan_merge import component_min_labels
 
-            return component_min_labels(
-                labels,
-                use_pallas=(backend == "relax_pallas"),
-                interpret=interpret,
+            return _flagged(
+                component_min_labels(
+                    labels,
+                    use_pallas=(backend == "relax_pallas"),
+                    interpret=interpret,
+                ),
+                starved,
             )
         if collect == "none":
-            return labels
+            return _flagged(labels, starved)
         if collect == "sizes":
-            return labels, sizes_from_levels(
-                labels, claim_levels, n_labels, max_water_level
+            return _flagged(
+                (
+                    labels,
+                    sizes_from_levels(
+                        labels, claim_levels, n_labels, max_water_level
+                    ),
+                ),
+                starved,
             )
         if collect == "history":
             lvls = jnp.arange(levels, dtype=jnp.int32)[:, None, None]
             hist = jnp.where(claim_levels[None] <= lvls, labels[None], 0)
-            return labels, hist
+            return _flagged((labels, hist), starved)
         raise ValueError(f"unknown collect mode {collect!r}")
 
     vhist = value_histogram(img)
@@ -267,7 +295,7 @@ def run_levels_impl(
                 img, labels, lvl, merging=merging, n_labels=n_labels, sweep_fn=sweep_fn
             )
 
-        return _collect_loop(
+        return _flagged(_collect_loop(
             step,
             labels0,
             levels=levels,
@@ -275,7 +303,7 @@ def run_levels_impl(
             collect=collect,
             n_labels=n_labels,
             real_of=lambda lab: lab,
-        )
+        ))
 
     if backend == "pallas":
         from .pallas_flood import (
@@ -324,7 +352,7 @@ def run_levels_impl(
                 )
             return a, b, cur
 
-        return _collect_loop(
+        return _flagged(_collect_loop(
             step,
             state0,
             levels=levels,
@@ -332,7 +360,7 @@ def run_levels_impl(
             collect=collect,
             n_labels=n_labels,
             real_of=real_of,
-        )
+        ))
 
     raise ValueError(f"unknown backend {backend!r}")
 
@@ -355,6 +383,7 @@ run_levels = cache_resilient(
             "tile",
             "steps",
             "interpret",
+            "with_flags",
         ),
     )(run_levels_impl)
 )

@@ -130,7 +130,7 @@ def _device_curves(
     if backend == "relax_pallas":
         from .pallas_relax import relax_transform_pallas
 
-        labels, claim_levels = relax_transform_pallas(
+        labels, claim_levels, starved = relax_transform_pallas(
             img,
             labels0,
             max_water_level=max_water_level,
@@ -138,10 +138,15 @@ def _device_curves(
             steps=steps,  # None -> measured schedule (ops.tune)
             interpret=interpret,
         )
+        # d-field saturation flag (ops.pallas_relax): claimed-but-
+        # unlabelled pixels corrupt BOTH the segmenting counts and the
+        # component-min merge, so the caller must re-run on the exact
+        # engine when set.
     else:
         labels, claim_levels = relax_transform(
             img, labels0, max_water_level=max_water_level
         )
+        starved = jnp.bool_(False)
     lo, hi, act, n = merge_edges_impl(
         labels, claim_levels, max_water_level=max_water_level
     )
@@ -151,7 +156,7 @@ def _device_curves(
     # levels <= 255 and the clip reserves `levels` for never-claimed pixels,
     # so uint8 is lossless (max_water_level <= 254 by construction).
     lv8 = jnp.clip(claim_levels, 0, max_water_level + 1).astype(jnp.uint8)
-    return final, labels, lv8, lo, hi, act, n
+    return final, labels, lv8, lo, hi, act, n, starved
 
 
 def host_cumulative_counts(
@@ -246,13 +251,15 @@ def relax_merging_sizes(
 ):
     """Merging ``transform_to_list`` data via the relax engine.
 
-    Returns (final merged labels, (levels, K+1) merged per-level sizes) —
-    bit-identical to run_levels(..., merging=True, collect='sizes') on the
-    level-sweep backends.
+    Returns (final merged labels, (levels, K+1) merged per-level sizes,
+    starved) — bit-identical to run_levels(..., merging=True,
+    collect='sizes') on the level-sweep backends; ``starved`` (host bool) is
+    the relax_pallas d-field saturation flag (the caller should re-run on
+    an exact engine when True — the compact planes are unreliable then).
     """
     img = jnp.asarray(img)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
-    final, labels, lv8, lo, hi, act, n = _device_curves(
+    final, labels, lv8, lo, hi, act, n, starved = _device_curves(
         img,
         labels0,
         n_labels=n_labels,
@@ -263,6 +270,9 @@ def relax_merging_sizes(
         interpret=interpret,
     )
     n = int(n)
+    if bool(starved):
+        # Skip the host rebuild: the planes are unreliable under saturation.
+        return final, None, True
     cum = host_cumulative_counts(
         np.asarray(labels), np.asarray(lv8), n_labels, max_water_level
     )
@@ -272,4 +282,4 @@ def relax_merging_sizes(
         np.asarray(hi[:n]),
         np.asarray(act[:n]),
     )
-    return final, sizes
+    return final, sizes, False

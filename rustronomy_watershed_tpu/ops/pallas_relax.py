@@ -27,7 +27,15 @@ Representation: the lexicographic key (L, d) packs into ONE int32,
   2^23-1 tie at (L, 2^23-1), where claims still complete but label
   donation needs a strictly-smaller neighbour key, so pixels deep inside
   such a monster plateau may stay UNCOLOURED.  The exact-unpacked jnp
-  engine (ops.priority, 32-bit d) has no such limit.
+  engine (ops.priority, 32-bit d) has no such limit.  This is DETECTED
+  in-kernel (a claimed pixel with label 0 at the fixed point — the exact
+  starvation signature; see the sat_ref comment in _relax_kernel) and
+  surfaced as a ``starved`` flag up through relax_fixed_point /
+  relax_transform_pallas / run_levels(with_flags=True); the public API
+  (models.base) warns and re-runs on the exact engine
+  (tests/test_saturation.py drives the whole path at a scaled-down
+  _D_BITS — a real 2^23-ring trigger needs ~8.4M Jacobi sweeps on ANY
+  engine, including the reference, so no full-size run is practical).
 
 Bands follow the flood kernel's layout (full-width rows, P-row halo,
 wrap-rolls with ghost corruption confined to the discarded halo) plus the
@@ -175,6 +183,7 @@ def _relax_kernel(
     lab_out,
     flags_ref,
     chg_ref,
+    sat_ref,
     *rest,
     tile,
     steps,
@@ -199,6 +208,7 @@ def _relax_kernel(
         chg_ref[0, 0] = 0
 
     flags_ref[i, 0] = 0
+    sat_ref[i, 0] = 0
 
     # Window DMAs.  The key/label windows are split into a TOP-HALO region
     # (p rows — the only rows band i-1's in-place centre write overlaps) and
@@ -369,6 +379,26 @@ def _relax_kernel(
         )
 
         flags_ref[i, 0] = any_ctr.astype(jnp.int32)
+        # d-field saturation detector (VERDICT r2 #4): at the global fixed
+        # point, a CLAIMED pixel with label 0 exists iff label donation was
+        # starved by equal (saturated) adjacent keys — claims complete at the
+        # pinned (L, 2^23-1) key but donation needs a STRICTLY smaller
+        # neighbour key (see the module docstring's degradation semantics).
+        # Any other claimed pixel has a donor with a strictly smaller key at
+        # the fixed point (ext adds 1 unless saturated; restarts donate from
+        # below the restart level), so its label is nonzero.  Computed once
+        # per band per call over the centre region (halo transients from the
+        # split key/lab write DMAs excluded) — VPU-only, ~1/steps of one
+        # sweep's cost.  Only the value from a band's LAST computed call is
+        # meaningful (the driver masks by the active set); mid-relaxation
+        # claimed-but-unlabelled states are expected and harmless.
+        sat_ref[i, 0] = jnp.max(
+            jnp.where(
+                (fkey < jnp.int32(_UNCLAIMED)) & (flab == 0) & centre,
+                jnp.int32(1),
+                jnp.int32(0),
+            )
+        )
         # Convergence witness — mode-dependent soundness argument:
         # * pipelined: every band's reads are EXACTLY the call-start state
         #   (successor prefetch completion is ordered before the in-place
@@ -503,8 +533,11 @@ def relax_block(
 ):
     """P fused relaxation sweeps over the active bands (in-place aliased).
 
-    Returns (key', lab', flags, not_converged): flags[i] != 0 iff band i's
-    centre changed; not_converged == False certifies the global fixed point.
+    Returns (key', lab', flags, not_converged, sat): flags[i] != 0 iff band
+    i's centre changed; not_converged == False certifies the global fixed
+    point; sat[i] != 0 iff band i's centre holds a claimed pixel with label
+    0 — the d-field saturation signature AT the fixed point (meaningful only
+    for bands that computed this call; mid-relaxation it is transient).
     ``ctr_cols=(lo, hi)`` restricts change DETECTION to a static column range
     (tiled/shard_map use — see the kernel comment); the sweeps themselves
     always run full-width.
@@ -536,12 +569,14 @@ def relax_block(
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((gy, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((gy, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         jax.ShapeDtypeStruct((gy, 1), jnp.int32),
         jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((gy, 1), jnp.int32),
     ]
     scratch = [
         pltpu.VMEM((2, win, wp), jnp.int8),
@@ -585,9 +620,9 @@ def relax_block(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(active, v_pad, key_pad, lab_pad)
-    key2, lab2, flags, chg = outs[:4]
-    base = (key2, lab2, flags[:, 0], chg[0, 0] > 0)
-    return base + (outs[4],) if fused_scan is not None else base
+    key2, lab2, flags, chg, sat = outs[:5]
+    base = (key2, lab2, flags[:, 0], chg[0, 0] > 0, sat[:, 0])
+    return base + (outs[5],) if fused_scan is not None else base
 
 
 def _dilate_flags(flags: jnp.ndarray) -> jnp.ndarray:
@@ -600,14 +635,22 @@ def _dilate_flags(flags: jnp.ndarray) -> jnp.ndarray:
 def relax_fixed_point(
     v_pad, key_pad, lab_pad, *, tile=DEFAULT_TILE, steps=DEFAULT_STEPS, interpret=False
 ):
-    """Iterate relax_block to the global fixed point on the padded domain."""
+    """Iterate relax_block to the global fixed point on the padded domain.
+
+    Returns (key, lab, starved): ``starved`` (scalar bool) is True iff the
+    fixed point holds a claimed-but-unlabelled pixel — the d-field
+    saturation signature (only reachable via a >= 2^23-px equal-level
+    plateau; see the module docstring).  Each band's flag is taken from its
+    LAST computed call (inactive bands' windows are unchanged by
+    definition, so their previous flag still describes their final state).
+    """
     hp, _ = v_pad.shape
     p = steps
     gy = (hp - 2 * p) // tile
 
     def body(state):
-        key, lab, active, _ = state
-        key, lab, flags, not_conv = jax.lax.cond(
+        key, lab, active, _, sat_bands = state
+        key, lab, flags, not_conv, sat = jax.lax.cond(
             jnp.sum(active) * 3 > gy,
             lambda args: relax_block(
                 *args, tile=tile, steps=steps, interpret=interpret, pipelined=True
@@ -617,14 +660,21 @@ def relax_fixed_point(
             ),
             (v_pad, key, lab, active),
         )
-        return key, lab, _dilate_flags(flags), not_conv
+        sat_bands = jnp.where(active > 0, sat, sat_bands)
+        return key, lab, _dilate_flags(flags), not_conv, sat_bands
 
-    key, lab, _, _ = jax.lax.while_loop(
+    key, lab, _, _, sat_bands = jax.lax.while_loop(
         lambda s: s[3],
         body,
-        (key_pad, lab_pad, jnp.ones((gy,), jnp.int32), jnp.bool_(True)),
+        (
+            key_pad,
+            lab_pad,
+            jnp.ones((gy,), jnp.int32),
+            jnp.bool_(True),
+            jnp.zeros((gy,), jnp.int32),
+        ),
     )
-    return key, lab
+    return key, lab, jnp.any(sat_bands > 0)
 
 
 def relax_fixed_point_fused(
@@ -645,14 +695,15 @@ def relax_fixed_point_fused(
     chain length) that call usually both converges and certifies, so its y
     output IS the scan-merge pass-1 plane and the separate fwd read of the
     label plane (ops.scan_merge) is skipped.  Returns
-    (key, lab, y0, y0_valid); y0 is garbage when y0_valid is False (the
-    caller falls back to the standalone fwd pass — bit-identical either way).
+    (key, lab, y0, y0_valid, starved); y0 is garbage when y0_valid is False
+    (the caller falls back to the standalone fwd pass — bit-identical either
+    way); ``starved`` is the d-field saturation flag (see relax_fixed_point).
     """
     hp, _ = v_pad.shape
     p = steps
     gy = (hp - 2 * p) // tile
 
-    key, lab, flags, not_conv, y0 = relax_block(
+    key, lab, flags, not_conv, sat, y0 = relax_block(
         v_pad,
         key_pad,
         lab_pad,
@@ -666,8 +717,8 @@ def relax_fixed_point_fused(
     y0_valid = jnp.logical_not(not_conv)
 
     def body(state):
-        key, lab, active, _ = state
-        key, lab, flags, nc = jax.lax.cond(
+        key, lab, active, _, sat_bands = state
+        key, lab, flags, nc, sat = jax.lax.cond(
             jnp.sum(active) * 3 > gy,
             lambda args: relax_block(
                 *args, tile=tile, steps=steps, interpret=interpret, pipelined=True
@@ -677,12 +728,13 @@ def relax_fixed_point_fused(
             ),
             (v_pad, key, lab, active),
         )
-        return key, lab, _dilate_flags(flags), nc
+        sat_bands = jnp.where(active > 0, sat, sat_bands)
+        return key, lab, _dilate_flags(flags), nc, sat_bands
 
-    key, lab, _, _ = jax.lax.while_loop(
-        lambda s: s[3], body, (key, lab, _dilate_flags(flags), not_conv)
+    key, lab, _, _, sat = jax.lax.while_loop(
+        lambda s: s[3], body, (key, lab, _dilate_flags(flags), not_conv, sat)
     )
-    return key, lab, y0, y0_valid
+    return key, lab, y0, y0_valid, jnp.any(sat > 0)
 
 
 def resolve_relax_config(
@@ -760,13 +812,15 @@ def relax_packed_planes(
     img, labels0, *, tile=None, steps=None, interpret=False, fwd_scan=False
 ):
     """Run the relaxation to its fixed point and return the PADDED planes:
-    (key_pad, lab_pad, p, tile) with real data at rows/cols [p, p + dim).
+    (key_pad, lab_pad, p, tile, ..., starved) with real data at rows/cols
+    [p, p + dim); ``starved`` (scalar bool, always last) is the d-field
+    saturation flag (see relax_fixed_point).
 
     The claimed-ness gate (one_sweep) guarantees lab_pad is 0 at every
     unclaimed cell, so downstream kernels (ops.scan_merge) can consume the
     padded plane directly with out-of-domain cells acting as barriers.
 
-    ``fwd_scan=True`` (merging path) appends (y0, y0_valid) to the result:
+    ``fwd_scan=True`` (merging path) inserts (y0, y0_valid) before starved:
     the component-min forward-vertical pass fused into the converging relax
     call (see relax_fixed_point_fused).
     """
@@ -782,7 +836,7 @@ def relax_packed_planes(
     else:
         v_pad, key_pad, lab_pad = pack_domain(img, labels0, tile, steps)
     if fwd_scan:
-        key, lab, y0, y0_valid = relax_fixed_point_fused(
+        key, lab, y0, y0_valid, starved = relax_fixed_point_fused(
             v_pad,
             key_pad,
             lab_pad,
@@ -792,11 +846,11 @@ def relax_packed_planes(
             steps=steps,
             interpret=interpret,
         )
-        return key, lab, steps, tile, y0, y0_valid
-    key, lab = relax_fixed_point(
+        return key, lab, steps, tile, y0, y0_valid, starved
+    key, lab, starved = relax_fixed_point(
         v_pad, key_pad, lab_pad, tile=tile, steps=steps, interpret=interpret
     )
-    return key, lab, steps, tile
+    return key, lab, steps, tile, starved
 
 
 def relax_transform_pallas(
@@ -809,16 +863,20 @@ def relax_transform_pallas(
     interpret=False,
 ):
     """Full segmenting transform; bit-identical to ops.priority.relax_transform
-    (and hence to the level-sweep drivers).  Returns (labels, claim_levels).
-    ``tile=None`` picks the widest band that fits VMEM (auto_tile);
-    ``steps=None`` picks the measured schedule (ops.tune.relax_steps).
+    (and hence to the level-sweep drivers).  Returns
+    (labels, claim_levels, starved); ``starved`` is the d-field saturation
+    flag — when True the labels may diverge from reference semantics on a
+    >= 2^23-px plateau and the caller should re-run on the exact engine
+    (ops.priority).  ``tile=None`` picks the widest band that fits VMEM
+    (auto_tile); ``steps=None`` picks the measured schedule
+    (ops.tune.relax_steps).
 
     ``labels0=None`` means "seeds from the image" (reference find_local_minima
     semantics): the fused pack kernel (ops.pallas_pack) computes the seed mask,
     row-major numbering, and the packed planes in ONE banded HBM pass instead
     of the jnp seed pipeline + pack_domain's three full-plane update-slices.
     """
-    key, lab, p, tile = relax_packed_planes(
+    key, lab, p, tile, starved = relax_packed_planes(
         img, labels0, tile=tile, steps=steps, interpret=interpret
     )
     img = jnp.asarray(img)
@@ -838,4 +896,4 @@ def relax_transform_pallas(
         labels = lab
     else:
         labels = jnp.where(claim_levels <= max_water_level, lab, UNCOLOURED)
-    return labels, claim_levels
+    return labels, claim_levels, starved

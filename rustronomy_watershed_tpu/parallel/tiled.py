@@ -411,7 +411,7 @@ def _local_relax_pallas_driver(
         nc = jnp.bool_(False)
         keys, labs = [], []
         for i in range(b):  # B is small and static; sequential kernel calls
-            k2, l2, _, nc_i = pr.relax_block(
+            k2, l2, _, nc_i, _ = pr.relax_block(
                 v_pad[i],
                 kp[i],
                 lp[i],
@@ -434,7 +434,7 @@ def _local_relax_pallas_driver(
         for i in range(b):
             # All-inactive SPARSE call: no window DMA, no compute — the
             # aliased planes pass through; certified state is preserved.
-            k2, l2, _, _ = pr.relax_block(
+            k2, l2, _, _, _ = pr.relax_block(
                 v_pad[i],
                 kp[i],
                 lp[i],

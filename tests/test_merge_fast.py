@@ -91,7 +91,7 @@ def test_relax_merging_sizes_matches_level_sweep(rng, shape, hi, maxlvl, backend
         jnp.asarray(img), lab0, n_labels=k, max_water_level=maxlvl,
         merging=True, backend="jnp", collect="sizes",
     )
-    got_lab, got_sz = relax_merging_sizes(
+    got_lab, got_sz, _ = relax_merging_sizes(
         jnp.asarray(img), lab0, n_labels=k, max_water_level=maxlvl,
         backend=backend, interpret=(backend == "relax_pallas"),
     )
@@ -222,7 +222,7 @@ def test_fused_fwd_scan_epilogue_matches_standalone_pass(rng):
     # steps=8 -> multi-call (fallback path).
     for steps, tile in ((40, 40), (8, 16)):
         v_pad, key_pad, lab_pad = pack_domain(img, lab0, tile, steps)
-        _, lab, y0, y0_valid = relax_fixed_point_fused(
+        _, lab, y0, y0_valid, _ = relax_fixed_point_fused(
             v_pad, key_pad, lab_pad, col_lo=steps, col_hi=steps + 56 - 1,
             tile=tile, steps=steps, interpret=True,
         )

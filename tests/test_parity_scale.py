@@ -105,7 +105,7 @@ def test_merging_transform_to_list_vs_oracle_512():
         img, seeds, 254, merging=True, with_sizes=True
     )
     lab0 = paint_seeds(img.shape, seeds)
-    final, sizes = relax_merging_sizes(
+    final, sizes, _ = relax_merging_sizes(
         jnp.asarray(img), lab0, n_labels=len(seeds), max_water_level=254,
         backend="relax",
     )

@@ -126,7 +126,7 @@ def test_relax_pallas_matches_jnp_relax(rng, shape, hi, maxlvl):
     seeds = _seeds_of(img) or [(2, 2)]
     lab0 = paint_seeds(shape, seeds)
     want_lab, want_L = relax_transform(jnp.asarray(img), lab0, max_water_level=maxlvl)
-    got_lab, got_L = relax_transform_pallas(
+    got_lab, got_L, _ = relax_transform_pallas(
         jnp.asarray(img), lab0, max_water_level=maxlvl, tile=8, steps=8, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got_lab), np.asarray(want_lab))
@@ -223,7 +223,7 @@ def test_relax_pallas_d_field_saturates_instead_of_carrying():
     key[10, 10] = (lvl << _D_BITS) | _D_MASK  # claimed, d at field max
     lab[10, 10] = 7
 
-    key2, lab2, _, _ = relax_block(
+    key2, lab2, _, _, sat = relax_block(
         jnp.asarray(v_pad), jnp.asarray(key), jnp.asarray(lab),
         jnp.ones((1,), jnp.int32), tile=tile, steps=steps, interpret=True,
     )
@@ -233,6 +233,9 @@ def test_relax_pallas_d_field_saturates_instead_of_carrying():
     levels = key2[claimed] >> _D_BITS
     assert (levels == lvl).all(), f"level field corrupted: {set(levels)}"
     assert (key2[claimed] & _D_MASK == _D_MASK).all()  # pinned at d max
+    # ... and the in-kernel starvation detector fires: the saturated spread
+    # claims pixels whose labels can never arrive (equal keys cannot donate).
+    assert int(np.asarray(sat)[0]) == 1
 
 
 def test_tune_relax_steps_resolution(monkeypatch):
@@ -374,6 +377,6 @@ def test_tall_table_tile_clamped_by_image_height():
     img = np.random.default_rng(0).integers(0, 255, (256, 1024)).astype(np.uint8)
     lab0 = np.zeros((256, 1024), np.int32)
     lab0[5, 7] = 1
-    key, lab, p, tile = relax_packed_planes(img, lab0, interpret=True)
+    key, lab, p, tile, _ = relax_packed_planes(img, lab0, interpret=True)
     assert tile == 256  # clamped to the image height, not the table's 1024
     assert key.shape[0] == 256 + 2 * p  # h2 == h — no row inflation
