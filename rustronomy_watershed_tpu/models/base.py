@@ -394,19 +394,32 @@ class _WatershedBase(WatershedUtils):
             imgs[:, -1, :] = NEVER_FILL
             imgs[:, :, 0] = NEVER_FILL
             imgs[:, :, -1] = NEVER_FILL
-            # Segmenting on the stacked plane (claims cannot cross the
-            # unclaimable border rows); the merge union must run PER IMAGE —
-            # on the stacked plane each image's interior rows 0/H-1 are no
-            # longer global-border rows, so the component scan would join
-            # border-seed pairs the per-image semantics keep apart.
+            # The MERGING variant additionally needs the component-min scans
+            # segmented per image: on the bare stacked plane an inner
+            # image's rows 0/H-1 are not global-border rows, so facing
+            # BORDER SEEDS of adjacent images would be 4-adjacent and the
+            # scans would join them (claims/labels themselves never cross —
+            # border pixels are unclaimable, and seeds are immutable).  One
+            # NEVER_FILL separator row per image (label 0 forever = a scan
+            # barrier/reset row) restores per-image semantics at full rate —
+            # the whole fused merging path (relax + fwd-scan epilogue +
+            # component-min) then runs on the stack in ONE program instead
+            # of the former per-image lax.map of the scans (serial, ~B x
+            # slower at scale).
+            hs = h + 1 if self._merging else h
+            if self._merging:
+                sep_imgs = np.full((b, hs, w), NEVER_FILL, dtype=np.uint8)
+                sep_imgs[:, :h] = imgs
+                imgs = sep_imgs
+                labels0 = jnp.pad(labels0, ((0, 0), (0, 1), (0, 0)))
             kw = dict(
                 n_labels=bucket,
                 max_water_level=self.max_water_level,
-                merging=False,
+                merging=self._merging,
                 collect="none",
             )
-            stacked_img = jnp.asarray(imgs.reshape(b * h, w))
-            stacked_lab = labels0.reshape(b * h, w)
+            stacked_img = jnp.asarray(imgs.reshape(b * hs, w))
+            stacked_lab = labels0.reshape(b * hs, w)
             if backend == "relax_pallas":
                 out, starved = run_levels(
                     stacked_img, stacked_lab, backend=backend,
@@ -418,17 +431,7 @@ class _WatershedBase(WatershedUtils):
                     out = run_levels(stacked_img, stacked_lab, backend="relax", **kw)
             else:
                 out = run_levels(stacked_img, stacked_lab, backend=backend, **kw)
-            out = jnp.asarray(out).reshape(b, h, w)
-            if self._merging:
-                from ..ops.scan_merge import component_min_labels
-
-                merge_one = partial(
-                    component_min_labels,
-                    use_pallas=(backend == "relax_pallas"),
-                )
-                out = cache_resilient(
-                    jax.jit(lambda x: jax.lax.map(merge_one, x))
-                )(out)
+            out = jnp.asarray(out).reshape(b, hs, w)[:, :h]
             return ret(out)
 
         # Level-sweep backends: vmap over the jnp driver.  (The pallas flood
@@ -528,9 +531,8 @@ class _WatershedBase(WatershedUtils):
             # replaying 255 per-level sweep rounds over ICI.
             from ..ops.merge_curve import (
                 clip_levels_u8,
-                host_cumulative_counts,
                 merge_edges,
-                merged_sizes_host,
+                merged_curve_host,
             )
             from ..parallel.tiled import tiled_transform
 
@@ -547,16 +549,16 @@ class _WatershedBase(WatershedUtils):
                 labels, L, max_water_level=self.max_water_level
             )
             n = int(n)
-            cum = host_cumulative_counts(
+            sizes = merged_curve_host(
                 np.asarray(labels),
                 np.asarray(
                     clip_levels_u8(L, max_water_level=self.max_water_level)
                 ),
                 bucket,
                 self.max_water_level,
-            )
-            sizes = merged_sizes_host(
-                cum, np.asarray(lo[:n]), np.asarray(hi[:n]), np.asarray(act[:n])
+                np.asarray(lo[:n]),
+                np.asarray(hi[:n]),
+                np.asarray(act[:n]),
             )
         elif self.mesh is not None:
             from ..parallel.tiled import tiled_transform

@@ -186,6 +186,30 @@ def host_cumulative_counts(
     return cum
 
 
+def merged_curve_host(
+    labels_np, lv8_np, n_labels: int, max_water_level: int, lo, hi, act
+) -> np.ndarray:
+    """(levels, K+1) merged sizes from the compact planes: the native C++
+    single pass (parity/oracle.cc merged_curve_oracle — counting-sorted
+    level streaming + union-find, ~10x the NumPy tail) when the toolchain
+    is available, else the bit-identical NumPy pair below."""
+    try:
+        from ..parity.native import native_merged_curve
+
+        return native_merged_curve(
+            labels_np, lv8_np, n_labels, max_water_level, lo, hi, act
+        )
+    except Exception:
+        # No g++ (or a broken build cache): the NumPy tail is bit-identical,
+        # just slower (r6: 0.55 s union + 0.24 s counts at 1024²).
+        cum = host_cumulative_counts(
+            np.asarray(labels_np), np.asarray(lv8_np), n_labels, max_water_level
+        )
+        return merged_sizes_host(
+            cum, np.asarray(lo), np.asarray(hi), np.asarray(act)
+        )
+
+
 def merged_sizes_host(
     cum: np.ndarray, lo: np.ndarray, hi: np.ndarray, act: np.ndarray
 ) -> np.ndarray:
@@ -269,17 +293,18 @@ def relax_merging_sizes(
         steps=steps,
         interpret=interpret,
     )
+    # Two host round-trips total: the scalars (n gates the edge slice), then
+    # ONE batched fetch of the compact planes + sliced edges — on tunnelled
+    # links every separate np.asarray pays its own dispatch+sync latency.
+    n, starved = jax.device_get((n, starved))
     n = int(n)
     if bool(starved):
         # Skip the host rebuild: the planes are unreliable under saturation.
         return final, None, True
-    cum = host_cumulative_counts(
-        np.asarray(labels), np.asarray(lv8), n_labels, max_water_level
+    labels_np, lv8_np, lo_np, hi_np, act_np = jax.device_get(
+        (labels, lv8, lo[:n], hi[:n], act[:n].astype(jnp.uint8))
     )
-    sizes = merged_sizes_host(
-        cum,
-        np.asarray(lo[:n]),
-        np.asarray(hi[:n]),
-        np.asarray(act[:n]),
+    sizes = merged_curve_host(
+        labels_np, lv8_np, n_labels, max_water_level, lo_np, hi_np, act_np
     )
     return final, sizes, False

@@ -61,6 +61,19 @@ def _lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.merged_curve_oracle.restype = ctypes.c_int
+        lib.merged_curve_oracle.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _LIB = lib
     return _LIB
 
@@ -98,6 +111,38 @@ def native_transform(
     if rc != 0:
         raise RuntimeError(f"native oracle failed rc={rc}")
     return (labels, sizes) if with_sizes else labels
+
+
+def native_merged_curve(
+    labels, lv8, n_labels: int, max_water_level: int, lo, hi, act
+) -> np.ndarray:
+    """(levels, K+1) merged per-level lake sizes from the compact planes —
+    the one-pass native twin of ops.merge_curve.host_cumulative_counts +
+    merged_sizes_host (bit-identical integer arithmetic, pinned by
+    tests/test_merge_fast.py::test_native_merged_curve_matches_numpy)."""
+    labels = np.ascontiguousarray(labels, dtype=np.int32).reshape(-1)
+    lv8 = np.ascontiguousarray(lv8, dtype=np.uint8).reshape(-1)
+    lo = np.ascontiguousarray(lo, dtype=np.int32)
+    hi = np.ascontiguousarray(hi, dtype=np.int32)
+    act = np.ascontiguousarray(act, dtype=np.int32)
+    levels = max_water_level + 1
+    k1 = n_labels + 1
+    out = np.zeros((levels, k1), dtype=np.int64)
+    rc = _lib().merged_curve_oracle(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lv8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        labels.size,
+        k1,
+        levels,
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        act.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lo.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native merged_curve failed rc={rc}")
+    return out
 
 
 def native_find_local_minima(img) -> list[tuple[int, int]]:

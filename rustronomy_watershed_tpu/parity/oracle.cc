@@ -149,6 +149,72 @@ int watershed_oracle(const uint8_t* img, int64_t h, int64_t w,
   return 0;
 }
 
+// transform_to_list (merging) host tail in one native pass: cumulative
+// segmenting counts + per-level Kruskal union (min-label representative,
+// SURVEY.md Q9) + redistribution onto representatives.  Replaces the
+// NumPy host_cumulative_counts + merged_sizes_host pair (bit-identical
+// integer arithmetic; pinned by tests/test_merge_fast.py) — the Python
+// tail dominated the public entry point (r6: union 0.55 s + counts 0.24 s
+// at 1024²/254 levels).
+//
+//   labels: (npx) int32 final SEGMENTING labels (claimed-ness gate => label
+//           0 iff unclaimed)
+//   lv8:    (npx) uint8 claim levels clipped to [0, levels] (value ==
+//           levels marks never-claimed)
+//   k1:     label-table size (n_labels + 1)
+//   levels: max_water_level + 1
+//   lo/hi/act: (n_edges) int32 deduplicated merge edges + activation level
+//           (act <= max_water_level by construction, ops/merge_curve.py)
+//   out:    (levels * k1) int64, receives the merged per-level lake sizes
+int merged_curve_oracle(const int32_t* labels, const uint8_t* lv8,
+                        int64_t npx, int64_t k1, int levels,
+                        const int32_t* lo, const int32_t* hi,
+                        const int32_t* act, int64_t n_edges, int64_t* out) {
+  // Counting-sort pixel labels by claim level so each level's count delta
+  // streams exactly once (no (levels+1) x k1 counts table).
+  std::vector<int64_t> off(levels + 2, 0);
+  for (int64_t i = 0; i < npx; ++i) ++off[(int64_t)lv8[i] + 1];
+  for (int64_t l = 1; l <= levels + 1; ++l) off[l] += off[l - 1];
+  std::vector<int32_t> bucketed(npx);
+  {
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (int64_t i = 0; i < npx; ++i) bucketed[cur[lv8[i]]++] = labels[i];
+  }
+  // Counting-sort edge indices by activation level.
+  std::vector<int64_t> eoff(levels + 1, 0);
+  for (int64_t e = 0; e < n_edges; ++e) ++eoff[act[e] + 1];
+  for (int64_t l = 1; l <= levels; ++l) eoff[l] += eoff[l - 1];
+  std::vector<int64_t> ebkt(n_edges);
+  {
+    std::vector<int64_t> cur(eoff.begin(), eoff.end() - 1);
+    for (int64_t e = 0; e < n_edges; ++e) ebkt[cur[act[e]]++] = e;
+  }
+
+  UnionFind uf(k1);
+  std::vector<int64_t> running(k1, 0);
+  int64_t claimed = 0;
+  for (int lvl = 0; lvl < levels; ++lvl) {
+    for (int64_t i = off[lvl]; i < off[lvl + 1]; ++i) {
+      const int32_t lab = bucketed[i];
+      if (lab != 0) {  // claimed <=> label nonzero; column 0 is recomputed
+        ++running[lab];
+        ++claimed;
+      }
+    }
+    for (int64_t i = eoff[lvl]; i < eoff[lvl + 1]; ++i) {
+      const int64_t e = ebkt[i];
+      uf.union_min(lo[e], hi[e]);
+    }
+    int64_t* row = out + (int64_t)lvl * k1;
+    std::memset(row, 0, sizeof(int64_t) * k1);
+    for (int64_t lab = 1; lab < k1; ++lab) {
+      if (running[lab] != 0) row[uf.find(lab)] += running[lab];
+    }
+    row[0] = npx - claimed;
+  }
+  return 0;
+}
+
 // Reference find_local_minima (strict local maxima by code, Q1): writes a
 // 0/1 mask; caller extracts row-major coordinates.
 int local_extrema_oracle(const uint8_t* img, int64_t h, int64_t w,

@@ -239,3 +239,35 @@ def test_fused_fwd_scan_epilogue_matches_standalone_pass(rng):
             np.testing.assert_array_equal(np.asarray(y0), want)
     assert seen_valid[0], "steps=40 should converge+certify in one call"
     assert not seen_valid[1], "steps=8 should need further calls at 40x56"
+
+
+def test_native_merged_curve_matches_numpy(rng):
+    """The C++ one-pass to_list tail (parity/oracle.cc merged_curve_oracle)
+    must be bit-identical to the NumPy host_cumulative_counts +
+    merged_sizes_host pair on randomized planes/edge sets, including
+    never-claimed pixels, labels masked above max level, and multi-edge
+    transitive unions."""
+    native = pytest.importorskip("rustronomy_watershed_tpu.parity.native")
+    from rustronomy_watershed_tpu.ops.merge_curve import host_cumulative_counts
+
+    for trial in range(5):
+        r = np.random.default_rng(500 + trial)
+        npx, k = 4000, 37
+        maxlvl = int(r.choice([5, 40, 254]))
+        levels = maxlvl + 1
+        labels = r.integers(0, k + 1, size=npx).astype(np.int32)
+        lv8 = r.integers(0, levels + 1, size=npx).astype(np.uint8)
+        # claimed-ness invariant: label 0 <=> never-claimed bucket
+        lv8[labels == 0] = levels
+        labels[lv8 == levels] = 0
+        ne = int(r.integers(0, 60))
+        lo = r.integers(1, k, size=ne).astype(np.int32)
+        hi = (lo + r.integers(1, k - 1, size=ne)).astype(np.int32) % k + 1
+        keep = lo != hi
+        lo2 = np.minimum(lo, hi)[keep]
+        hi2 = np.maximum(lo, hi)[keep]
+        act = r.integers(0, maxlvl + 1, size=lo2.size).astype(np.int32)
+        cum = host_cumulative_counts(labels, lv8, k, maxlvl)
+        want = merged_sizes_host(cum, lo2.astype(np.int64), hi2.astype(np.int64), act)
+        got = native.native_merged_curve(labels, lv8, k, maxlvl, lo2, hi2, act)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial={trial}")

@@ -1,4 +1,4 @@
-"""Steady-state bench for BASELINE config 5: batched 64x1024^2 segmenting.
+"""Steady-state bench for BASELINE config 5: batched 64x1024^2 transforms.
 
 Measures ``transform_batch``'s stacked-relax device path (the (B*H, W)
 vertical stacking with per-image NEVER_FILL borders, seeds given as
@@ -6,7 +6,9 @@ pre-painted labels0 — models/base.py:276) with the bench.py methodology:
 ``inner`` serially-dependent batch transforms inside ONE jitted
 lax.fori_loop, forced by a scalar fetch, exact int32 checksum asserted
 across every iteration and rep.  Run on the TPU:
-``python tools/bench_batched.py [B [size]]``.
+``python tools/bench_batched.py [B [size]]``; ``BENCH_MERGING=1`` benches
+the MERGING variant (per-image separator rows segment the component-min
+scans, exactly like transform_batch's merging stacking).
 """
 
 import os
@@ -29,13 +31,20 @@ def main():
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    merging = os.environ.get("BENCH_MERGING", "0") == "1"
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 254, size=(b, size, size)).astype(np.uint8)
     imgs[:, 0, :] = NEVER_FILL
     imgs[:, -1, :] = NEVER_FILL
     imgs[:, :, 0] = NEVER_FILL
     imgs[:, :, -1] = NEVER_FILL
-    stacked = imgs.reshape(b * size, size)
+    if merging:
+        # One NEVER_FILL separator row per image (transform_batch's merging
+        # stacking): a permanent label-0 barrier for the component-min scans.
+        sep = np.full((b, size + 1, size), NEVER_FILL, dtype=np.uint8)
+        sep[:, :size] = imgs
+        imgs = sep
+    stacked = imgs.reshape(-1, size)
 
     # Seeds as transform_batch receives them: pre-painted labels0 (host
     # NumPy strict-local-maxima + row-major numbering, quirk Q1).
@@ -77,7 +86,7 @@ def main():
                 lab0,
                 n_labels=bucket,
                 max_water_level=254,
-                merging=False,
+                merging=merging,
                 collect="none",
                 backend="relax_pallas",
             )
@@ -100,8 +109,9 @@ def main():
         assert np.all(acc == chk0)
 
     dt = min(times) / inner
+    variant = "merging" if merging else "segmenting"
     print(
-        f"batched {b}x{size}^2 segmenting: {npx / dt / 1e6:.0f} Mpix/s "
+        f"batched {b}x{size}^2 {variant}: {npx / dt / 1e6:.0f} Mpix/s "
         f"({dt * 1e3:.1f} ms per batch, inner={inner}, seeds={n_seeds})"
     )
 
