@@ -78,7 +78,11 @@ def _seg_min_scan(v, b, axis, size, reverse, idx):
             pt = pltpu.roll(t, s, axis)
             take = idx >= s
         pt = jnp.where(take, pt, ident)
-        combined = jnp.minimum(t & mask, pt & mask) | (pt & flag)
+        # `combined` is only kept where t is UNFLAGGED (the outer where), and
+        # an unflagged t has t & mask == t — so min against the raw t saves
+        # one AND per doubling step (the flagged branch's combined value is
+        # discarded, its content is irrelevant).
+        combined = jnp.minimum(t, pt & mask) | (pt & flag)
         t = jnp.where(t >= flag, t, combined)
         s *= 2
     return t & mask, (t >= flag).astype(jnp.int32)

@@ -39,7 +39,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..constants import INT32_MAX, NEVER_FILL, UNCOLOURED
+from ..constants import INT32_MAX, NEVER_FILL, NORMAL_MAX, UNCOLOURED
 from ..ops.flood import flood_sweep
 from ..ops.priority import relax_sweep
 from .halo import exchange_halo, global_interior_mask, refresh_halo_padded
@@ -298,6 +298,7 @@ def _local_relax_pallas_driver(
     control_axes,
     band_tile,
     interpret,
+    with_stats=False,
 ):
     """Tiled priority relaxation with the Pallas packed-key kernel per tile.
 
@@ -342,16 +343,19 @@ def _local_relax_pallas_driver(
     k = halo
 
     # Static image plane: exchange once, apply the GLOBAL border rule, embed
-    # into the kernel's lane-padded domain as biased int8.
-    v_p = exchange_halo(
-        img_tile.astype(jnp.int32), k, axis_y, axis_x, off_grid_fill=NEVER_FILL
-    )
+    # into the kernel's lane-padded domain as biased int8.  The whole setup
+    # runs at int8 width (bias BEFORE the exchange — NEVER_FILL biases to
+    # 127, still the int8 max, so ghost cells keep "can never flood"): the
+    # halo collective and the padding passes then move a quarter of the
+    # bytes of the previous int32 pipeline, with bit-identical results.
+    nf8 = jnp.int8(NEVER_FILL - 128)
+    v8 = (img_tile.astype(jnp.int32) - 128).astype(jnp.int8)
+    v_p = exchange_halo(v8, k, axis_y, axis_x, off_grid_fill=NEVER_FILL - 128)
     interior = global_interior_mask((h, w), global_shape, k, axis_y, axis_x)
-    v_p = jnp.where(interior, v_p, NEVER_FILL)
+    v_p = jnp.where(interior, v_p, nf8)
     wp = -(-(w + 2 * k) // 128) * 128
-    v_pad = jnp.full((b, h + 2 * k, wp), NEVER_FILL, dtype=jnp.int32)
+    v_pad = jnp.full((b, h + 2 * k, wp), nf8, dtype=jnp.int8)
     v_pad = jax.lax.dynamic_update_slice(v_pad, v_p, (0, 0, 0))
-    v_pad = (v_pad - 128).astype(jnp.int8)
 
     lab0 = lab_tile.astype(jnp.int32)
     unclaimed = jnp.int32(pr._UNCLAIMED)
@@ -389,7 +393,18 @@ def _local_relax_pallas_driver(
     # round to stop; on a 1x1 mesh this halves the round count).  Tiles
     # with need=False skip their kernel call entirely (all-inactive sparse
     # call: zero window DMA) but still participate in every collective.
+    # On a DEGENERATE 1x1 mesh every halo is off-grid: the planes are
+    # initialised to exactly the off-grid fill (UNCLAIMED / 0 / NEVER_FILL)
+    # and padding cells are pinned inert by the kernel's restart clamp, so
+    # the refresh is the identity and the strips are constants — skip both
+    # (measured on hardware: the refresh/carry plumbing cost ~0.8 ms per
+    # transform at 4096²).  The protocol degenerates to the kernel's own
+    # pipelined witness, which is exactly the dense engine's certificate.
+    degenerate = lax.axis_size(axis_y) == 1 and lax.axis_size(axis_x) == 1
+
     def _refresh_strips(kp, lp):
+        if degenerate:
+            return kp, lp, ()
         kp, ks = refresh_halo_padded(
             kp, k, h, w, axis_y, axis_x,
             off_grid_fill=pr._UNCLAIMED, return_strips=True,
@@ -452,28 +467,74 @@ def _local_relax_pallas_driver(
     key_pad, lab_pad, strips = _refresh_strips(key_pad, lab_pad)
 
     def body(state):
-        key_pad, lab_pad, strips, need, _ = state
+        key_pad, lab_pad, strips, need, _, stats = state
         key_pad, lab_pad, nc = lax.cond(
             need, _run, _skip, (key_pad, lab_pad)
         )
         key_pad, lab_pad, strips2 = _refresh_strips(key_pad, lab_pad)
         need2 = nc | _strips_changed(strips, strips2)
         glob = lax.psum(need2.astype(jnp.int32), control_axes) > 0
-        return key_pad, lab_pad, strips2, need2, glob
+        if with_stats:
+            # rounds executed / tile kernel-call runs (scaling study only —
+            # the extra psum stays off the production path).
+            stats = stats + jnp.stack(
+                [
+                    jnp.int32(1),
+                    lax.psum(need.astype(jnp.int32), control_axes),
+                ]
+            )
+        return key_pad, lab_pad, strips2, need2, glob, stats
 
-    key_pad, lab_pad, _, _, _ = lax.while_loop(
+    key_pad, lab_pad, _, _, _, stats = lax.while_loop(
         lambda s: s[4],
         body,
-        (key_pad, lab_pad, strips, jnp.bool_(True), jnp.bool_(True)),
+        (
+            key_pad,
+            lab_pad,
+            strips,
+            jnp.bool_(True),
+            jnp.bool_(True),
+            jnp.zeros((2,), jnp.int32),
+        ),
     )
-    key = jax.lax.slice(key_pad, (0, k, k), (b, k + h, k + w))
     lab = jax.lax.slice(lab_pad, (0, k, k), (b, k + h, k + w))
-    L = jnp.where(
-        key == unclaimed,
-        jnp.int32(_BIG_L),
-        jax.lax.shift_right_logical(key, pr._D_BITS),
-    )
-    labels = jnp.where(L <= max_water_level, lab, UNCOLOURED)
+    # Claim levels are only materialised when a consumer needs them: at the
+    # default full depth (max_water_level >= NORMAL_MAX) the kernel's
+    # claimed-ness gate guarantees unclaimed pixels keep lab = 0, so the lab
+    # plane IS the final label image — same extraction-pass skip as the
+    # dense driver (ops/pallas_relax.relax_transform_pallas).  This saves
+    # the key-plane read + where pass per transform for the headline
+    # collect='none' path.
+    need_L = (collect != "none") or (max_water_level < NORMAL_MAX)
+    if need_L:
+        key = jax.lax.slice(key_pad, (0, k, k), (b, k + h, k + w))
+        L = jnp.where(
+            key == unclaimed,
+            jnp.int32(_BIG_L),
+            jax.lax.shift_right_logical(key, pr._D_BITS),
+        )
+    else:
+        L = None
+    if max_water_level >= NORMAL_MAX:
+        labels = lab
+    else:
+        labels = jnp.where(L <= max_water_level, lab, UNCOLOURED)
+    if with_stats:
+        return (
+            _relax_collect_tail(
+                labels,
+                L,
+                global_shape=global_shape,
+                n_labels=n_labels,
+                max_water_level=max_water_level,
+                merging=merging,
+                collect=collect,
+                axis_y=axis_y,
+                axis_x=axis_x,
+                control_axes=control_axes,
+            ),
+            stats,
+        )
     return _relax_collect_tail(
         labels,
         L,
@@ -650,6 +711,7 @@ def tiled_transform(
     axis_x: str = "x",
     axis_batch: str | None = None,
     backend: str = "auto",
+    with_stats: bool = False,
 ):
     """Run the full watershed tiled over ``mesh``.
 
@@ -673,6 +735,12 @@ def tiled_transform(
     engines run k local sweeps per exchange, so a tuned-k halo converges in
     ~one exchange round per claim-chain length), clamped to the local tile
     extents.  Pass an explicit k to trade strip width against round count.
+
+    ``with_stats=True`` (relax_pallas + collect='none' only) additionally
+    returns a replicated int32 vector [exchange rounds executed, total tile
+    kernel-call runs] — the mesh scaling study's instrumentation
+    (tools/mesh_scaling.py); the extra per-round psum stays off the
+    production path.
     """
     img = jnp.asarray(img)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
@@ -708,6 +776,8 @@ def tiled_transform(
             )
         driver = _local_relax_pallas_driver
         extra = {"band_tile": band_tile, "interpret": not on_tpu}
+        if with_stats:
+            extra["with_stats"] = True
     elif backend == "relax":
         driver = _local_relax_driver
     else:
@@ -731,8 +801,12 @@ def tiled_transform(
         control_axes=tuple(mesh.axis_names),
         **extra,
     )
+    if with_stats and (backend != "relax_pallas" or collect != "none"):
+        raise ValueError(
+            "with_stats=True needs backend='relax_pallas' and collect='none'"
+        )
     if collect == "none":
-        out_specs = spec
+        out_specs = (spec, P(None)) if with_stats else spec
     elif collect == "sizes":
         out_specs = (spec, P(None, axis_batch, None))
     elif collect == "claims":
@@ -756,6 +830,10 @@ def tiled_transform(
     )
     out = fn(img, labels0)
     if collect == "none":
+        if with_stats:
+            out, stats = out
+            out = out[..., :gh, :gw]
+            return (out[0] if squeeze else out), stats
         out = out[..., :gh, :gw]
         return out[0] if squeeze else out
     labels, stats = out[0][..., :gh, :gw], out[1]
