@@ -85,7 +85,15 @@ VMEM_LIMIT_BYTES = 123 * 1024 * 1024
 # error sizes (r6, v5e): 117.82 MiB at win=208×8320 and 122.33 MiB at
 # win=216×8320 — linear through the origin at 71.4 B/elem (the r5 "66 B"
 # figure compared a decimal-byte budget against Mosaic's MiB report).
-_WIN_ELEM_BYTES_X10 = 714
+# r7 recalibration: the remote compile helper's toolchain DRIFTED between
+# sessions — the EXACT r6 kernel revision (pre-saturation-detector,
+# verified compiling AND running at win=216×8320 = 122.33 MiB in r6) now
+# reports 123.06 MiB at the same config, 66 KiB over the limit (A/B
+# isolated with compile-only probes of both revisions; the detector adds
+# ~0.01 MiB on top).  Footprints measured on this platform are therefore
+# only valid within a session-ish horizon; the model keeps the freshest
+# bracket: 71.8 B/elem.
+_WIN_ELEM_BYTES_X10 = 718
 
 # Fallback-bound safety slack for widths nobody has measured (the measured
 # table entries are validated against the un-slacked model instead).
@@ -392,13 +400,18 @@ def _relax_kernel(
         # sweep's cost.  Only the value from a band's LAST computed call is
         # meaningful (the driver masks by the active set); mid-relaxation
         # claimed-but-unlabelled states are expected and harmless.
-        sat_ref[i, 0] = jnp.max(
-            jnp.where(
-                (fkey < jnp.int32(_UNCLAIMED)) & (flab == 0) & centre,
-                jnp.int32(1),
-                jnp.int32(0),
-            )
-        )
+        # Computed on CENTRE-ROW SLICES, not window-sized masks: (t, wp)
+        # slices shrink the detector's mask temporaries by the halo share
+        # and drop the row-iota term (measured ~0.01 MiB of scoped VMEM at
+        # 8192² — small, but this kernel lives at the VMEM ceiling; see
+        # the _WIN_ELEM_BYTES_X10 recalibration note).
+        fk_c = fkey[p : p + t, :]
+        fl_c = flab[p : p + t, :]
+        sat_m = (fk_c < jnp.int32(_UNCLAIMED)) & (fl_c == 0)
+        if ctr_cols is not None:
+            cols_c = jax.lax.broadcasted_iota(jnp.int32, (t, fk_c.shape[1]), 1)
+            sat_m = sat_m & (cols_c >= ctr_cols[0]) & (cols_c < ctr_cols[1])
+        sat_ref[i, 0] = jnp.max(sat_m.astype(jnp.int32))
         # Convergence witness — mode-dependent soundness argument:
         # * pipelined: every band's reads are EXACTLY the call-start state
         #   (successor prefetch completion is ordered before the in-place

@@ -236,12 +236,18 @@ def _bwd_vh_kernel(
     z = jnp.where(reset, 0, final)
     z = jnp.where((cc == col_lo) | (cc == col_hi), y, z)  # border columns
 
-    # Horizontal run-min within the band (rows independent): bwd(fwd(z)).
+    # Horizontal run-min within the band (rows independent).  run-min =
+    # min(inclusive fwd prefix-min, inclusive bwd suffix-min) — exactly the
+    # segment min (both subsets include the cell and cover the run), and
+    # the two scan chains are INDEPENDENT, so the VPU can overlap one
+    # chain's roll latency with the other's combines (the sequential
+    # bwd(fwd(z)) form serialises 2·log2(wp) doubling steps).
     zres = z == 0
     zres_i = zres.astype(jnp.int32)
-    hv, _ = _seg_min_scan(jnp.where(zres, inf, z), zres_i, 1, wp, False, cc)
-    hv, _ = _seg_min_scan(hv, zres_i, 1, wp, True, cc)
-    out = jnp.where(zres, 0, hv)
+    zv = jnp.where(zres, inf, z)
+    hf, _ = _seg_min_scan(zv, zres_i, 1, wp, False, cc)
+    hb, _ = _seg_min_scan(zv, zres_i, 1, wp, True, cc)
+    out = jnp.where(zres, 0, jnp.minimum(hf, hb))
     # Border rows (0, real_h-1): horizontal border-border edges never merge.
     grow = rr + i * tile
     out = jnp.where((grow == 0) | (grow == real_h - 1), z, out)
