@@ -78,8 +78,10 @@ DEFAULT_STEPS = 16
 # bracket what fits: win=216 rows = 122.33 MiB compiles and RUNS at a
 # 123 MiB limit, win=232 = ~131 MiB does not fit even at 127 MiB.  The
 # r2-r5 112 MiB setting left ~9% of the chip's VMEM (one 8-row tile step
-# at 8192 width) unused.
-VMEM_LIMIT_BYTES = 123 * 1024 * 1024
+# at 8192 width) unused.  r7: raised 123 -> 125 MiB after the platform
+# toolchain drift inflated the same win=216 config to 123.06 MiB (see
+# _WIN_ELEM_BYTES_X10) — compile+RUN verified on hardware at 125.
+VMEM_LIMIT_BYTES = 125 * 1024 * 1024
 
 # Measured footprint per window element ×10, from Mosaic's scoped-allocation
 # error sizes (r6, v5e): 117.82 MiB at win=208×8320 and 122.33 MiB at

@@ -303,9 +303,25 @@ def _bwd_vh_kernel(
 
 
 def _round_tile(wp: int) -> int:
-    """Band height for the fused scan kernels at this padded width."""
+    """Band height for the fused scan kernels at this padded width.
+
+    Capped at 64: the backward-vertical scan pays ceil(log2(tile)) packed
+    doubling steps per band, so SHORT bands win as long as the DMA chunks
+    stay pipelined (r7 probe_tail sweep at 4096²: tail pass 1.41 ms at
+    tile 320 / 1.31 at 128 / 1.29 at 64; copy floor flat at ~0.49)."""
     t = (100_000_000 // (wp * 60)) // 8 * 8
-    return int(max(8, min(256, t)))
+    return int(max(8, min(64, t)))
+
+
+def _tail_tile(h2: int) -> int:
+    """Largest 8-multiple band height <= 64 dividing ``h2`` (the relax
+    engine's padded height — always an 8-multiple).  The scan tail is not
+    bound to the relax band tile: any divisor grid reads the same plane,
+    and short bands cost fewer bwd-scan doubling steps (_round_tile)."""
+    for t in range(64, 7, -8):
+        if h2 % t == 0:
+            return t
+    return 8
 
 
 def _call_round_kernel(kernel, src, *, tile, interpret, out_rows=None, **kw):
@@ -440,6 +456,10 @@ def component_min_from_padded(
     if h2 % tile:
         raise ValueError(f"relax tile {tile} must divide padded height {h2}")
     col_lo, col_hi = p, p + w - 1
+    # The tail's own band height: short bands pay fewer bwd-scan doubling
+    # steps (see _round_tile); any 8-multiple divisor of h2 reads the same
+    # plane, so the tail is NOT bound to the relax band tile.
+    tile = _tail_tile(h2) if h2 % 8 == 0 else tile
 
     def _fwd(lab_pad):
         return _call_round_kernel(

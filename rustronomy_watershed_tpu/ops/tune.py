@@ -60,13 +60,14 @@ RELAX_TILE_TABLE: dict[int, int] = {
     4096: 320,
     # r6 sweep at the 123 MiB scoped-VMEM limit (VMEM_LIMIT_BYTES):
     # 136/144/152/160 -> 1691/1740/1781/1784 Mpix/s; 168 does not fit.
-    # r7: tile 152 now OOMs by 66 KiB — PLATFORM COMPILER DRIFT, not a
-    # kernel change (the exact r6 kernel revision reproduces the OOM; see
-    # the _WIN_ELEM_BYTES_X10 recalibration note) — drop to 144, the next
-    # measured point (1740 in the r6 sweep; 1731 re-measured r7).
+    # r7: tile 152 transiently OOM'd by 66 KiB at the old 123 MiB ceiling —
+    # PLATFORM COMPILER DRIFT, not a kernel change (the exact r6 kernel
+    # revision reproduces it; see the _WIN_ELEM_BYTES_X10 note).  Restored
+    # after the ceiling raise to 125 MiB (compile+run verified at the
+    # drifted footprint; tile 144 measured 1731 as the interim).
     # (r5 history at the old 112 MiB limit: 88/120/128/136 ->
     # 1413/1539/1615/1608.)
-    8192: 144,
+    8192: 152,
 }
 
 _MIN_STEPS = 8  # Mosaic sublane-DMA slice granularity

@@ -359,10 +359,10 @@ def test_resolution_contracts(monkeypatch):
     assert resolve_relax_config(4096, 1024) == (32, 1024)
     # square table widths resolve to their measured configs
     assert resolve_relax_config(1024, 1024) == (24, 1024)
-    # 152 -> 144 in r7: platform compiler drift re-OOM'd the r6-verified
-    # 152 (ops/tune.py table note).
-    assert resolve_relax_config(8192, 8192) == (32, 144)
-    assert resolve_relax_config(8192, 8192, fwd_scan=True) == (32, 136)
+    # r7: 152 transiently OOM'd under platform compiler drift, restored
+    # after the VMEM ceiling raise to 125 MiB (ops/tune.py table note).
+    assert resolve_relax_config(8192, 8192) == (32, 152)
+    assert resolve_relax_config(8192, 8192, fwd_scan=True) == (32, 144)
 
 
 def test_tall_table_tile_clamped_by_image_height():
