@@ -271,3 +271,16 @@ def test_native_merged_curve_matches_numpy(rng):
         want = merged_sizes_host(cum, lo2.astype(np.int64), hi2.astype(np.int64), act)
         got = native.native_merged_curve(labels, lv8, k, maxlvl, lo2, hi2, act)
         np.testing.assert_array_equal(got, want, err_msg=f"trial={trial}")
+
+
+def test_tail_tile_divisor_choice():
+    """The scan tail's band height: largest 8-multiple divisor of the
+    padded height <= 64 (short bands pay fewer bwd-scan doubling steps —
+    BENCHMARKS r7)."""
+    from rustronomy_watershed_tpu.ops.scan_merge import _tail_tile
+
+    assert _tail_tile(4160) == 64   # 13 x 320 (the 4096² geometry)
+    assert _tail_tile(1024) == 64
+    assert _tail_tile(8208) == 48   # 57 x 144: 64 does not divide
+    assert _tail_tile(8) == 8
+    assert _tail_tile(40) == 40

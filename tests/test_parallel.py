@@ -651,3 +651,38 @@ def test_refresh_halo_padded_matches_exchange_halo(rng):
         local, mesh=mesh, in_specs=P("y", "x"), out_specs=P(("y", "x")),
     )(jnp.asarray(tiles))
     assert np.asarray(oks).all()
+
+
+def test_with_stats_rounds_and_parity(rng):
+    """tiled_transform(with_stats=True) returns the replicated
+    [rounds, tile runs] vector (the mesh scaling study's instrumentation)
+    without perturbing the labels."""
+    img = rng.integers(0, 40, size=(64, 64)).astype(np.uint8)
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    lab0 = seed_labels_from_mask(local_extrema_mask(jnp.asarray(img)))
+    k = int(np.asarray(lab0).max())
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
+    out, stats = tiled_transform(
+        img, lab0, mesh, n_labels=k, max_water_level=254,
+        backend="relax_pallas", halo=8, with_stats=True,
+    )
+    stats = np.asarray(stats)
+    assert stats.shape == (2,)
+    rounds, runs = int(stats[0]), int(stats[1])
+    assert rounds >= 1
+    # every round runs at most 4 tiles; at least the first round runs all 4
+    assert 4 <= runs <= 4 * rounds
+    want = tiled_transform(
+        img, lab0, mesh, n_labels=k, max_water_level=254,
+        backend="relax_pallas", halo=8,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    with pytest.raises(ValueError):
+        tiled_transform(
+            img, lab0, mesh, n_labels=k, max_water_level=254,
+            backend="relax", with_stats=True,
+        )
