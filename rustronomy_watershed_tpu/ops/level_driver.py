@@ -227,14 +227,16 @@ def run_levels_impl(
             from .scan_merge import component_min_from_padded
 
             h, w = img.shape
-            _, lab_pad, p, tile_r, y0, y0_valid, starved = relax_packed_planes(
+            (
+                _, lab_pad, p, col_off, tile_r, y0, y0_valid, starved,
+            ) = relax_packed_planes(
                 img, labels0, tile=tile, steps=steps, interpret=interpret,
                 fwd_scan=True,
             )
             return _flagged(
                 component_min_from_padded(
                     lab_pad, p=p, h=h, w=w, tile=tile_r, interpret=interpret,
-                    y0=y0, y0_valid=y0_valid,
+                    y0=y0, y0_valid=y0_valid, col_off=col_off,
                 ),
                 starved,
             )

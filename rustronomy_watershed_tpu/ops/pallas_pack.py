@@ -36,21 +36,35 @@ from .pallas_relax import _UNCLAIMED
 _HALO = 8  # mask needs 1 row; 8 keeps sublane DMA slices aligned
 
 
-def pack_prep(img, tile: int, steps: int):
+def pack_prep(
+    img,
+    tile: int,
+    steps: int,
+    *,
+    wp: int | None = None,
+    col_off: int | None = None,
+):
     """Biased-int8 staging of the TRUE image onto the padded kernel domain.
 
     Padding (aprons, lane tail, dead rows) is NEVER_FILL; REAL values are kept
     everywhere incl. the 1-px border — the seed mask must compare against true
     border values (the border rule applies to v only, in-kernel).
+
+    ``wp``/``col_off`` override the default full-width-band geometry (real
+    columns at [steps, steps + w)) for the column-blocked relax kernel's
+    stripe layout (ops.pallas_relax.resolve_stripe_config).
     """
     img = jnp.asarray(img).astype(jnp.int32)
     h, w = img.shape
     h2 = -(-h // tile) * tile
     p = steps
-    wp = -(-(w + 2 * p) // 128) * 128
+    if col_off is None:
+        col_off = p
+    if wp is None:
+        wp = -(-(w + 2 * p) // 128) * 128
     out = jnp.full((h2 + 2 * p, wp), NEVER_FILL - 128, dtype=jnp.int8)
     return jax.lax.dynamic_update_slice(
-        out, (img - 128).astype(jnp.int8), (p, p)
+        out, (img - 128).astype(jnp.int8), (p, col_off)
     )
 
 
@@ -74,6 +88,7 @@ def _pack_kernel(
     steps,
     real_h,
     real_w,
+    col_off,
 ):
     t, p = tile, steps
     wh = t + 2 * _HALO
@@ -139,8 +154,8 @@ def _pack_kernel(
     inside = (
         (gr >= 1)
         & (gr <= real_h - 2)
-        & (gc >= p + 1)
-        & (gc <= p + real_w - 2)
+        & (gc >= col_off + 1)
+        & (gc <= col_off + real_w - 2)
     )
     seed = okc & inside
 
@@ -196,17 +211,29 @@ def _pack_kernel(
             b.wait()
 
 
-def pack_domain_fused(img, tile: int, steps: int, interpret: bool = False):
+def pack_domain_fused(
+    img,
+    tile: int,
+    steps: int,
+    interpret: bool = False,
+    *,
+    wp: int | None = None,
+    col_off: int | None = None,
+):
     """(v_pad, key_pad, lab_pad, n_seeds) — fused seeds + pack, one HBM pass.
 
     Drop-in replacement for ``pack_domain(img, seed_labels_from_mask(
     local_extrema_mask(img)), tile, steps)`` (plus the seed count).
+    ``wp``/``col_off`` select the column-blocked kernel's stripe geometry
+    (see pack_prep).
     """
     img = jnp.asarray(img)
     h, w = img.shape
     if steps < _HALO:
         raise ValueError(f"pack_domain_fused needs steps >= {_HALO}")
-    img8 = pack_prep(img, tile, steps)
+    if col_off is None:
+        col_off = steps
+    img8 = pack_prep(img, tile, steps, wp=wp, col_off=col_off)
     hp, wp = img8.shape
     p = steps
     gy = (hp - 2 * p) // tile
@@ -236,7 +263,8 @@ def pack_domain_fused(img, tile: int, steps: int, interpret: bool = False):
     )
     v_pad, key_pad, lab_pad, nseeds = pl.pallas_call(
         partial(
-            _pack_kernel, tile=tile, steps=steps, real_h=h, real_w=w
+            _pack_kernel, tile=tile, steps=steps, real_h=h, real_w=w,
+            col_off=col_off,
         ),
         grid_spec=grid_spec,
         out_shape=[

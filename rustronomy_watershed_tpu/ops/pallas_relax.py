@@ -154,33 +154,48 @@ _UNCLAIMED = NEVER_FILL << _D_BITS  # (255, d=0) — see module docstring
 _BIG_LAB = jnp.int32(2**30)
 
 
-def pack_domain(img, labels0, tile: int = DEFAULT_TILE, steps: int = DEFAULT_STEPS):
+def pack_domain(
+    img,
+    labels0,
+    tile: int = DEFAULT_TILE,
+    steps: int = DEFAULT_STEPS,
+    *,
+    wp: int | None = None,
+    col_off: int | None = None,
+):
     """(v_pad int8-biased, key_pad int32, lab_pad int32) padded planes.
 
     Real 1-px border forced to NEVER_FILL (window-centre rule); aprons are
     NEVER_FILL / unclaimed / 0 — apron restarts are rejected by vcand's
     min-clamp and an unclaimed key's extend still carries level 255, so
     aprons never claim and never propagate (see the kernel comment).
+
+    Default geometry puts real data at (steps, steps); the column-blocked
+    kernel passes ``wp``/``col_off`` for its stripe layout (real columns at
+    [col_off, col_off + w), lane halo _STRIPE_HALO per side).
     """
     img = jnp.asarray(img).astype(jnp.int32)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
     h, w = img.shape
     h2 = -(-h // tile) * tile
     p = steps
-    wp = -(-(w + 2 * p) // 128) * 128
+    if col_off is None:
+        col_off = p
+    if wp is None:
+        wp = -(-(w + 2 * p) // 128) * 128
     v = img.at[0, :].set(NEVER_FILL)
     v = v.at[-1, :].set(NEVER_FILL)
     v = v.at[:, 0].set(NEVER_FILL)
     v = v.at[:, -1].set(NEVER_FILL)
     shape = (h2 + 2 * p, wp)
     v_pad = jnp.full(shape, NEVER_FILL, dtype=jnp.int32)
-    v_pad = jax.lax.dynamic_update_slice(v_pad, v, (p, p))
+    v_pad = jax.lax.dynamic_update_slice(v_pad, v, (p, col_off))
     seeds = labels0 != UNCOLOURED
     key = jnp.where(seeds, jnp.int32(0), jnp.int32(_UNCLAIMED))
     key_pad = jnp.full(shape, _UNCLAIMED, dtype=jnp.int32)
-    key_pad = jax.lax.dynamic_update_slice(key_pad, key, (p, p))
+    key_pad = jax.lax.dynamic_update_slice(key_pad, key, (p, col_off))
     lab_pad = jnp.zeros(shape, dtype=jnp.int32)
-    lab_pad = jax.lax.dynamic_update_slice(lab_pad, labels0, (p, p))
+    lab_pad = jax.lax.dynamic_update_slice(lab_pad, labels0, (p, col_off))
     return (v_pad - 128).astype(jnp.int8), key_pad, lab_pad
 
 
@@ -640,6 +655,527 @@ def relax_block(
     return base + (outs[5],) if fused_scan is not None else base
 
 
+_STRIPE_HALO = 128  # lane-dim halo per stripe side (DMA lane granularity)
+
+# Auto-resolved stripe widths aim near this lane count: wide enough to keep
+# lane-halo redundancy low (256/cw), narrow enough that the VMEM-capped band
+# height stays tall (row redundancy 2p/tile).  Hardware-measured at 8192²
+# (see ops.tune.STRIPE_TABLE).
+_STRIPE_TARGET_CW = 4096
+# Auto-tile cap for the column-blocked kernel (taller windows than the 1-D
+# kernel's DEFAULT_TILE are the point of striping; measured table entries
+# may exceed this).
+_STRIPE_TILE_CAP = 512
+
+
+def vmem_model_bytes2d(
+    cw: int, steps: int, tile: int, fused_scan: bool = False
+) -> int:
+    """vmem_model_bytes for the column-blocked kernel: identical per-window
+    structure (same scratch layout, same sweep body), so the calibrated
+    _WIN_ELEM_BYTES_X10 applies with the stripe window width cw + 2·halo in
+    place of the full padded width."""
+    cwin = cw + 2 * _STRIPE_HALO
+    b = (tile + 2 * steps) * cwin * _WIN_ELEM_BYTES_X10 // 10
+    if fused_scan:
+        b += 4 * tile * cwin
+    return b
+
+
+def _stripe_auto_tile(cw: int, steps: int, fused_scan: bool = False) -> int:
+    """Largest 8-multiple band height fitting the stripe window in VMEM
+    (same budget discipline as auto_tile), capped at _STRIPE_TILE_CAP."""
+    cwin = cw + 2 * _STRIPE_HALO
+    per10 = cwin * _WIN_ELEM_BYTES_X10
+    extra10 = 40 * cwin if fused_scan else 0
+    tile = (
+        ((VMEM_LIMIT_BYTES - _AUTO_TILE_SLACK) * 10 - 2 * steps * per10)
+        // (per10 + extra10)
+        // 8
+        * 8
+    )
+    return int(max(8, min(_STRIPE_TILE_CAP, tile)))
+
+
+def resolve_stripe_config(
+    h: int, w: int, *, steps=None, tile=None, fwd_scan: bool = False
+):
+    """Decide whether the column-blocked (2-D grid) kernel should run this
+    geometry, and with what schedule.
+
+    Returns ``(steps, tile, nx, cw)`` when striping wins, else ``None``
+    (the full-width 1-D band path).  The decision compares the MODELED sweep
+    redundancy R = (window area) / (useful centre area):
+
+    * 1-D: R₁ = (tile₁ + 2p)/tile₁ · wp/w   (tile₁ from resolve_relax_config
+      — the VMEM wall caps it at wide images: 152 rows at 8192, R₁ ≈ 1.47);
+    * 2-D: R₂ = (tile₂ + 2p)/tile₂ · nx·(cw + 2·128)/w  (column stripes
+      restore tall bands at the cost of a 256-lane halo per stripe).
+
+    Striping engages iff the best stripe candidate beats the 1-D band —
+    which the model first predicts at w ≈ 6k and measures true at 8192²
+    (BENCHMARKS.md r8) — or the 1-D resolution raises (image too wide for
+    even a minimum-height full-width band), which striping removes as a
+    geometry limit.  ``RWT_RELAX_STRIPES="nx,cw"`` forces a configuration
+    (perf sweeps); ``RWT_RELAX_STRIPES="0"`` disables striping.
+    """
+    import os as _os
+
+    from .tune import STRIPE_TABLE, relax_steps
+
+    steps_in = steps
+    if steps is None:
+        steps = relax_steps(w)
+        if h > 2 * w:
+            steps = max(steps, 32)
+    if steps > _STRIPE_HALO:
+        return None  # lane halo must cover the sweep count (witness range)
+
+    def clamp_tile(t):
+        return max(8, min(t, -(-h // 8) * 8))
+
+    env = _os.environ.get("RWT_RELAX_STRIPES")
+    if env is not None:
+        if env.strip() in ("", "0", "off"):
+            return None
+        nx, cw = (int(x) for x in env.replace(":", ",").split(","))
+        t = tile if tile is not None else clamp_tile(
+            _stripe_auto_tile(cw, steps, fwd_scan)
+        )
+        return steps, t, nx, cw
+
+    if w in STRIPE_TABLE:
+        nx, cw, t_meas = STRIPE_TABLE[w]
+        t = tile if tile is not None else clamp_tile(t_meas)
+        return steps, t, nx, cw
+
+    # Modeled decision for unmeasured widths.
+    try:
+        s1, tile1 = resolve_relax_config(
+            h, w, steps=steps_in, tile=tile, fwd_scan=fwd_scan
+        )
+        wp1 = -(-(w + 2 * s1) // 128) * 128
+        r1 = (tile1 + 2 * s1) / tile1 * wp1 / w
+    except ValueError:
+        r1 = float("inf")  # too wide for any full-width band
+
+    best = None
+    for target in (_STRIPE_TARGET_CW, _STRIPE_TARGET_CW // 2):
+        nx = max(2, -(-w // target))
+        cw = -(-(-(-w // nx)) // 128) * 128
+        t = tile if tile is not None else clamp_tile(
+            _stripe_auto_tile(cw, steps, fwd_scan)
+        )
+        if t < 8 or vmem_model_bytes2d(cw, steps, t, fwd_scan) > VMEM_LIMIT_BYTES:
+            continue
+        r2 = (t + 2 * steps) / t * nx * (cw + 2 * _STRIPE_HALO) / w
+        if best is None or r2 < best[0]:
+            best = (r2, t, nx, cw)
+    if best is None or best[0] >= r1:
+        return None
+    return steps, best[1], best[2], best[3]
+
+
+def _relax_kernel2d(
+    v_hbm,
+    key_in,
+    lab_in,
+    _key_dst,
+    _lab_dst,
+    key_out,
+    lab_out,
+    flags_ref,
+    chg_ref,
+    sat_ref,
+    *rest,
+    tile,
+    steps,
+    cw,
+    fused_scan=None,
+):
+    """Column-blocked (2-D grid) relaxation kernel — donated PING-PONG planes.
+
+    Grid (nx, gy), band index fastest: program (cb, i) sweeps the window
+    rows [i·t, i·t + t + 2p) × lanes [cb·cw, cb·cw + cw + 2·128) of the
+    padded planes.  Reads come exclusively from the call-start planes
+    (key_in / lab_in are never written), so the call is a true global
+    Jacobi block REGARDLESS of program order — the "last sweep quiescent in
+    every window" witness is sound with no write-after-prefetch ordering at
+    all (contrast _relax_kernel's in-place pipelined mode; the soundness
+    argument is ops/pallas_flood.py's: with row halo p = steps and lane halo
+    128 >= steps, a window's centre after its j-th internal sweep equals
+    global Jacobi sweep G_j there, so centre-quiescence of the last sweep in
+    every window certifies the global fixed point).
+
+    Outputs ride DONATED ping-pong buffers (input_output_aliases on
+    _key_dst/_lab_dst, never read): every program writes its centre-rows ×
+    centre-lanes region ONLY, so the constant aprons the donated buffer
+    already carries (pack-time values) are never touched.  This is what
+    makes the call safe against wrap-roll ghost corruption: post-sweep halo
+    lanes/rows of a window are corrupted up to `steps` cells inward from the
+    window edge and are simply never written anywhere.
+
+    This kernel exists for images too wide for a full-width band at a
+    useful tile (the VMEM wall at >= ~6k lanes, resolve_stripe_config): nx
+    column stripes of ~4096 lanes restore tall bands, cutting the window
+    redundancy from ~1.47x to ~1.26x at 8192².  There is no band activity
+    gating — the schedule (steps >= the max claim chain) converges and
+    certifies in ONE call on non-adversarial inputs, and rare extra calls
+    run dense.
+    """
+    if fused_scan is None:
+        v2, key2, lab2, sems = rest
+        y_out = yst = ycarry = None
+    else:
+        y_out, v2, key2, lab2, yst, ycarry, sems = rest
+    t, p = tile, steps
+    win = t + 2 * p
+    hs = _STRIPE_HALO
+    cwin = cw + 2 * hs
+    cb = pl.program_id(0)
+    i = pl.program_id(1)
+    nx = pl.num_programs(0)
+    gy = pl.num_programs(1)
+    gidx = cb * gy + i
+    slot = jax.lax.rem(gidx, 2)
+    nslot = 1 - slot
+
+    @pl.when(gidx == 0)
+    def _():
+        chg_ref[0, 0] = 0
+
+    def dma_all(s, c, b):
+        row0 = b * t
+        col0 = c * cw
+        return tuple(
+            pltpu.make_async_copy(
+                src.at[pl.ds(row0, win), pl.ds(col0, cwin)],
+                dst.at[s],
+                sems.at[s, k],
+            )
+            for src, dst, k in (
+                (v_hbm, v2, 0),
+                (key_in, key2, 1),
+                (lab_in, lab2, 2),
+            )
+        )
+
+    @pl.when(gidx == 0)
+    def _():
+        for d in dma_all(slot, 0, 0):
+            d.start()
+
+    @pl.when(gidx + 1 < nx * gy)
+    def _():
+        nc = jnp.where(i + 1 < gy, cb, cb + 1)
+        nb = jnp.where(i + 1 < gy, i + 1, 0)
+        for d in dma_all(nslot, nc, nb):
+            d.start()
+
+    for d in dma_all(slot, cb, i):
+        d.wait()
+
+    # --- the sweep body (identical math to _relax_kernel's one_sweep) ---
+    vkey = jax.lax.shift_left(v2[slot].astype(jnp.int32) + 128, _D_BITS)
+    vcand = jnp.minimum(vkey + 1, jnp.int32(_UNCLAIMED))
+    key0 = key2[slot]
+    lab0 = lab2[slot]
+    biglab = jnp.int32(2**30)
+
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (win, cwin), 0)
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (win, cwin), 1)
+    centre = (
+        (rows_w >= p) & (rows_w < p + t) & (cols_w >= hs) & (cols_w < hs + cw)
+    )
+    chg_weight = jnp.where(centre, jnp.int32(2), jnp.int32(1))
+
+    def rolls(a):
+        return (
+            pltpu.roll(a, 1, 0),
+            pltpu.roll(a, win - 1, 0),
+            pltpu.roll(a, 1, 1),
+            pltpu.roll(a, cwin - 1, 1),
+        )
+
+    def one_sweep(key, lab):
+        kq4 = rolls(key)
+        lq4 = rolls(lab)
+        kmin = jnp.minimum(
+            jnp.minimum(kq4[0], kq4[1]), jnp.minimum(kq4[2], kq4[3])
+        )
+        ext_min = jnp.minimum(kmin + 1, kmin | jnp.int32(_D_MASK))
+        best = jnp.minimum(key, jnp.maximum(ext_min, vcand))
+        labmin = None
+        for kq, lq in zip(kq4, lq4):
+            cand = jnp.where(kq < best, lq, biglab)
+            labmin = cand if labmin is None else jnp.minimum(labmin, cand)
+        new_lab = jnp.where(
+            (labmin == biglab) | (best == jnp.int32(_UNCLAIMED)), lab, labmin
+        )
+        chg = (best != key) | (new_lab != lab)
+        m = jnp.max(jnp.where(chg, chg_weight, jnp.int32(0)))
+        return best, new_lab, m > 0, m > 1
+
+    key1, lab1, chg1_win, chg1_ctr = one_sweep(key0, lab0)
+
+    def rest_loop(args):
+        k1, l1, c1 = args
+
+        # Early exit (bit-identical — see _relax_kernel's rest loop).
+        def cond(carry):
+            j, _, _, _, cw_, _ = carry
+            return (j < steps - 1) & cw_
+
+        def body(carry):
+            j, key, lab, anyc, _, _ = carry
+            k2, l2, cw2, cc2 = one_sweep(key, lab)
+            return j + 1, k2, l2, anyc | cc2, cw2, cc2
+
+        _, key, lab, anyc, _, cc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), k1, l1, c1, jnp.bool_(True), c1)
+        )
+        return key, lab, anyc, cc
+
+    fkey, flab, any_ctr, last_ctr = jax.lax.cond(
+        chg1_win,
+        rest_loop,
+        lambda args: (args[0], args[1], args[2], args[2]),
+        (key1, lab1, chg1_ctr),
+    )
+
+    flags_ref[gidx, 0] = any_ctr.astype(jnp.int32)
+    # Saturation detector on the centre region (see _relax_kernel).
+    fk_c = fkey[p : p + t, :]
+    fl_c = flab[p : p + t, :]
+    cols_c = jax.lax.broadcasted_iota(jnp.int32, (t, cwin), 1)
+    ctr_c = (cols_c >= hs) & (cols_c < hs + cw)
+    sat_ref[gidx, 0] = jnp.max(
+        ((fk_c < jnp.int32(_UNCLAIMED)) & (fl_c == 0) & ctr_c).astype(
+            jnp.int32
+        )
+    )
+    # Jacobi block: the last executed sweep's centre-quiescence in every
+    # window IS the global-sweep witness (see the docstring).
+    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], last_ctr.astype(jnp.int32))
+
+    # Stage the centre region into the window scratch (centre LANES only —
+    # post-sweep halo lanes hold wrap-roll ghosts and must never leave the
+    # window) and emit it to the donated output planes.
+    key2[slot, p : p + t, hs : hs + cw] = fkey[p : p + t, hs : hs + cw]
+    lab2[slot, p : p + t, hs : hs + cw] = flab[p : p + t, hs : hs + cw]
+    row0 = i * t + p
+    col0c = cb * cw + hs
+    co1 = pltpu.make_async_copy(
+        key2.at[slot, pl.ds(p, t), pl.ds(hs, cw)],
+        key_out.at[pl.ds(row0, t), pl.ds(col0c, cw)],
+        sems.at[slot, 3],
+    )
+    co2 = pltpu.make_async_copy(
+        lab2.at[slot, pl.ds(p, t), pl.ds(hs, cw)],
+        lab_out.at[pl.ds(row0, t), pl.ds(col0c, cw)],
+        sems.at[slot, 4],
+    )
+    co1.start()
+    co2.start()
+    co1.wait()
+    co2.wait()
+
+    # Fused fwd-vertical segmented-min scan epilogue (merging path): per
+    # stripe, top-to-bottom — exactly the grid order (band index fastest).
+    # The scan input is flab MASKED to the centre lanes: halo lanes carry
+    # post-sweep ghosts, and the y plane's pad lanes must be genuine zero
+    # barriers or the tail's violation stencil could loop forever.
+    if fused_scan is not None:
+        col_lo, col_hi = fused_scan
+        col0 = cb * cw
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (t, cwin), 1)
+        x = jnp.where(
+            (lane_w >= hs) & (lane_w < hs + cw), flab[p : p + t, :], 0
+        )
+        rr = jax.lax.broadcasted_iota(jnp.int32, (t, cwin), 0)
+        ccs = lane_w + col0
+        inf = jnp.int32(_SCAN_INF)
+        reset = x == 0
+        sv, sb = _seg_min_scan(
+            jnp.where(reset, inf, x), reset.astype(jnp.int32), 0, t, False, rr
+        )
+        carry_in = jnp.where(
+            i == 0, jnp.full((1, cwin), inf, jnp.int32), ycarry[...]
+        )
+        sfinal = jnp.where(sb != 0, sv, jnp.minimum(sv, carry_in))
+        ycarry[...] = jnp.min(
+            jnp.where(rr == t - 1, sfinal, inf), axis=0, keepdims=True
+        )
+        y = jnp.where(reset, 0, sfinal)
+        y = jnp.where((ccs == col_lo) | (ccs == col_hi), x, y)
+        yst[...] = y
+
+        def emit_y(cw0, cws):
+            co = pltpu.make_async_copy(
+                yst.at[pl.ds(0, t), pl.ds(cw0, cws)],
+                y_out.at[pl.ds(i * t, t), pl.ds(col0 + cw0, cws)],
+                sems.at[slot, 5],
+            )
+            co.start()
+            co.wait()
+
+        emit_y(hs, cw)  # centre lanes — every program
+
+        # Pad lanes of the y plane (zeros via the centre mask): written by
+        # the edge stripes so the plane is complete for the scan tail.
+        @pl.when(cb == 0)
+        def _():
+            emit_y(0, hs)
+
+        @pl.when(cb == nx - 1)
+        def _():
+            emit_y(hs + cw, hs)
+
+
+def relax_block2d(
+    v_pad,
+    key_in,
+    lab_in,
+    key_dst,
+    lab_dst,
+    *,
+    nx,
+    cw,
+    tile,
+    steps,
+    interpret=False,
+    fused_scan=None,
+):
+    """One column-blocked Jacobi relaxation call (P fused sweeps).
+
+    ``key_dst``/``lab_dst`` are DONATED ping-pong buffers (aliased to the
+    outputs, never read): they must carry the constant aprons (pack-time
+    values — rows [0, p) and [p + h2, hp), lanes [0, 128) and
+    [128 + nx·cw, wp)), because the kernel writes centre regions only.
+    The padded planes have real data at rows [p, p + h), lanes
+    [_STRIPE_HALO, _STRIPE_HALO + w), total width nx·cw + 2·_STRIPE_HALO
+    (build with pack geometry wp/col_off — stripes beyond w hold inert
+    NEVER_FILL padding).
+
+    Returns the same tuple shape as relax_block (key', lab', flags,
+    not_converged, sat[, y]); flags/sat are per (stripe, band) program.
+    not_converged == False certifies the global fixed point (Jacobi block +
+    last-sweep witness).
+    """
+    hp, wp = v_pad.shape
+    p = steps
+    if p > _STRIPE_HALO:
+        raise ValueError(
+            f"relax_block2d needs steps <= {_STRIPE_HALO} (lane halo); "
+            f"got {p}"
+        )
+    gy = (hp - 2 * p) // tile
+    win = tile + 2 * p
+    cwin = cw + 2 * _STRIPE_HALO
+    if wp != nx * cw + 2 * _STRIPE_HALO:
+        raise ValueError(f"plane width {wp} != {nx}*{cw} + {2 * _STRIPE_HALO}")
+
+    nprog = nx * gy
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((nprog, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nprog, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        jax.ShapeDtypeStruct((nprog, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((nprog, 1), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((2, win, cwin), jnp.int8),
+        pltpu.VMEM((2, win, cwin), jnp.int32),
+        pltpu.VMEM((2, win, cwin), jnp.int32),
+    ]
+    if fused_scan is not None:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((gy * tile, wp), jnp.int32))
+        scratch += [
+            pltpu.VMEM((tile, cwin), jnp.int32),
+            pltpu.VMEM((1, cwin), jnp.int32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 6 if fused_scan else 5)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nx, gy),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        partial(
+            _relax_kernel2d,
+            tile=tile,
+            steps=steps,
+            cw=cw,
+            fused_scan=fused_scan,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(v_pad, key_in, lab_in, key_dst, lab_dst)
+    key2, lab2, flags, chg, sat = outs[:5]
+    base = (key2, lab2, flags[:, 0], chg[0, 0] > 0, sat[:, 0])
+    return base + (outs[5],) if fused_scan is not None else base
+
+
+def relax_fixed_point2d(
+    v_pad, key_pad, lab_pad, *, nx, cw, tile, steps, interpret=False,
+    fused_scan=None,
+):
+    """Iterate relax_block2d to the global fixed point (ping-pong planes).
+
+    Returns (key, lab, starved) — or, with ``fused_scan=(col_lo, col_hi)``,
+    (key, lab, y0, y0_valid, starved) where y0 is the merging component-min
+    forward pass from call 1's epilogue (valid only when call 1 certified).
+    Every call computes every window, so the LAST call's sat flags are the
+    fixed-point saturation state.
+
+    The alternate plane pair starts as bare constants (UNCLAIMED keys, zero
+    labels — exactly the apron values everywhere); each call donates the
+    older pair as its output buffers, whose centre it fully overwrites and
+    whose aprons it never touches, so aprons stay constant forever.
+    """
+    alt_key = jnp.full_like(key_pad, jnp.int32(_UNCLAIMED))
+    alt_lab = jnp.zeros_like(lab_pad)
+    first = relax_block2d(
+        v_pad, key_pad, lab_pad, alt_key, alt_lab, nx=nx, cw=cw, tile=tile,
+        steps=steps, interpret=interpret, fused_scan=fused_scan,
+    )
+    if fused_scan is not None:
+        key, lab, _, not_conv, sat, y0 = first
+        y0_valid = jnp.logical_not(not_conv)
+    else:
+        key, lab, _, not_conv, sat = first
+
+    def body(state):
+        key, lab, okey, olab, _, _ = state
+        k2, l2, _, nc, sat = relax_block2d(
+            v_pad, key, lab, okey, olab, nx=nx, cw=cw, tile=tile,
+            steps=steps, interpret=interpret,
+        )
+        return k2, l2, key, lab, nc, sat
+
+    key, lab, _, _, _, sat = jax.lax.while_loop(
+        lambda s: s[4], body, (key, lab, key_pad, lab_pad, not_conv, sat)
+    )
+    starved = jnp.any(sat > 0)
+    if fused_scan is not None:
+        return key, lab, y0, y0_valid, starved
+    return key, lab, starved
+
+
 def _dilate_flags(flags: jnp.ndarray) -> jnp.ndarray:
     """Next call's active set: changed bands and their neighbours."""
     up = jnp.concatenate([flags[1:], jnp.zeros((1,), flags.dtype)])
@@ -824,12 +1360,13 @@ def resolve_relax_config(
 
 
 def relax_packed_planes(
-    img, labels0, *, tile=None, steps=None, interpret=False, fwd_scan=False
+    img, labels0, *, tile=None, steps=None, interpret=False, fwd_scan=False,
+    stripes=None,
 ):
     """Run the relaxation to its fixed point and return the PADDED planes:
-    (key_pad, lab_pad, p, tile, ..., starved) with real data at rows/cols
-    [p, p + dim); ``starved`` (scalar bool, always last) is the d-field
-    saturation flag (see relax_fixed_point).
+    (key_pad, lab_pad, p, col_off, tile, ..., starved) with real data at
+    rows [p, p + h), cols [col_off, col_off + w); ``starved`` (scalar bool,
+    always last) is the d-field saturation flag (see relax_fixed_point).
 
     The claimed-ness gate (one_sweep) guarantees lab_pad is 0 at every
     unclaimed cell, so downstream kernels (ops.scan_merge) can consume the
@@ -838,9 +1375,63 @@ def relax_packed_planes(
     ``fwd_scan=True`` (merging path) inserts (y0, y0_valid) before starved:
     the component-min forward-vertical pass fused into the converging relax
     call (see relax_fixed_point_fused).
+
+    Wide images run the column-blocked kernel (resolve_stripe_config —
+    col_off = _STRIPE_HALO there, else col_off = steps); ``stripes=(nx,
+    cw)`` forces a stripe grid (tests / perf sweeps).
     """
     img = jnp.asarray(img)
     h, w = img.shape
+    if stripes is not None:
+        nx, cw = stripes
+        if steps is None:
+            from .tune import relax_steps
+
+            steps = relax_steps(w)
+            if h > 2 * w:
+                steps = max(steps, 32)
+        if tile is None:
+            tile = max(
+                8, min(_stripe_auto_tile(cw, steps, fwd_scan), -(-h // 8) * 8)
+            )
+        cfg = (steps, tile, nx, cw)
+    else:
+        cfg = resolve_stripe_config(
+            h, w, steps=steps, tile=tile, fwd_scan=fwd_scan
+        )
+    if cfg is not None:
+        steps, tile, nx, cw = cfg
+        if cw % 128 or nx * cw < w:
+            raise ValueError(
+                f"stripe grid nx={nx}, cw={cw} invalid for width {w}: cw "
+                "must be a 128-multiple (lane-DMA granularity) and nx*cw "
+                "must cover the image"
+            )
+        hs = _STRIPE_HALO
+        wp = nx * cw + 2 * hs
+        if labels0 is None:
+            from .pallas_pack import pack_domain_fused
+
+            v_pad, key_pad, lab_pad, _ = pack_domain_fused(
+                img, tile, steps, interpret=interpret, wp=wp, col_off=hs
+            )
+        else:
+            v_pad, key_pad, lab_pad = pack_domain(
+                img, labels0, tile, steps, wp=wp, col_off=hs
+            )
+        if fwd_scan:
+            key, lab, y0, y0_valid, starved = relax_fixed_point2d(
+                v_pad, key_pad, lab_pad, nx=nx, cw=cw, tile=tile,
+                steps=steps, interpret=interpret,
+                fused_scan=(hs, hs + w - 1),
+            )
+            return key, lab, steps, hs, tile, y0, y0_valid, starved
+        key, lab, starved = relax_fixed_point2d(
+            v_pad, key_pad, lab_pad, nx=nx, cw=cw, tile=tile, steps=steps,
+            interpret=interpret,
+        )
+        return key, lab, steps, hs, tile, starved
+
     steps, tile = resolve_relax_config(h, w, steps=steps, tile=tile, fwd_scan=fwd_scan)
     if labels0 is None:
         from .pallas_pack import pack_domain_fused
@@ -861,11 +1452,11 @@ def relax_packed_planes(
             steps=steps,
             interpret=interpret,
         )
-        return key, lab, steps, tile, y0, y0_valid, starved
+        return key, lab, steps, steps, tile, y0, y0_valid, starved
     key, lab, starved = relax_fixed_point(
         v_pad, key_pad, lab_pad, tile=tile, steps=steps, interpret=interpret
     )
-    return key, lab, steps, tile, starved
+    return key, lab, steps, steps, tile, starved
 
 
 def relax_transform_pallas(
@@ -891,13 +1482,13 @@ def relax_transform_pallas(
     row-major numbering, and the packed planes in ONE banded HBM pass instead
     of the jnp seed pipeline + pack_domain's three full-plane update-slices.
     """
-    key, lab, p, tile, starved = relax_packed_planes(
+    key, lab, p, col_off, tile, starved = relax_packed_planes(
         img, labels0, tile=tile, steps=steps, interpret=interpret
     )
     img = jnp.asarray(img)
     h, w = img.shape
-    key = jax.lax.dynamic_slice(key, (p, p), (h, w))
-    lab = jax.lax.dynamic_slice(lab, (p, p), (h, w))
+    key = jax.lax.dynamic_slice(key, (p, col_off), (h, w))
+    lab = jax.lax.dynamic_slice(lab, (p, col_off), (h, w))
     claim_levels = jnp.where(
         key == _UNCLAIMED,
         jnp.int32(NEVER_FILL + 1),

@@ -426,14 +426,17 @@ def component_min_from_padded(
     interpret: bool = False,
     y0=None,
     y0_valid=None,
+    col_off: int | None = None,
 ):
     """Component-min labels straight from the relax engine's padded label
     plane — the merging variant's final-label tail with ZERO extraction
     passes.
 
     ``lab_pad`` is the (h2 + 2p, wp) plane from ops.pallas_relax's fixed
-    point, real data at rows [p, p+h), cols [p, p+w); ``tile`` is the relax
-    band height (which divides h2 by construction).  Preconditions supplied
+    point, real data at rows [p, p+h), cols [col_off, col_off+w) (col_off
+    defaults to p — the full-width band geometry; the column-blocked kernel
+    passes _STRIPE_HALO); ``tile`` is the relax band height (which divides
+    h2 by construction).  Preconditions supplied
     by the relax kernel: the claimed-ness gate pins every unclaimed cell
     (aprons, lane padding, NEVER_FILL, borders) at 0, so out-of-domain cells
     are scan barriers without any masking, and this is only valid at full
@@ -455,7 +458,9 @@ def component_min_from_padded(
     h2 = hp_src - 2 * p
     if h2 % tile:
         raise ValueError(f"relax tile {tile} must divide padded height {h2}")
-    col_lo, col_hi = p, p + w - 1
+    if col_off is None:
+        col_off = p
+    col_lo, col_hi = col_off, col_off + w - 1
     # The tail's own band height: short bands pay fewer bwd-scan doubling
     # steps (see _round_tile); any 8-multiple divisor of h2 reads the same
     # plane, so the tail is NOT bound to the relax band tile.
@@ -497,7 +502,7 @@ def component_min_from_padded(
         return y2, viol
 
     out, _ = jax.lax.while_loop(lambda s: s[1], body, (y0, jnp.bool_(True)))
-    return jax.lax.slice(out, (0, p), (h, p + w))
+    return jax.lax.slice(out, (0, col_off), (h, col_off + w))
 
 
 def _vscan_jnp(lab):

@@ -70,6 +70,14 @@ RELAX_TILE_TABLE: dict[int, int] = {
     8192: 152,
 }
 
+# width -> (nx, cw, tile) for the column-blocked (2-D grid) relax kernel
+# (ops.pallas_relax.resolve_stripe_config).  A listed width ALWAYS stripes
+# with this exact configuration; unlisted widths fall back to the modeled
+# redundancy comparison (stripes engage when the model says column blocking
+# beats the VMEM-capped full-width band — first true around w ≈ 6k).
+# Empty until the r8 hardware sweep lands a measured winner.
+STRIPE_TABLE: dict[int, tuple[int, int, int]] = {}
+
 _MIN_STEPS = 8  # Mosaic sublane-DMA slice granularity
 
 

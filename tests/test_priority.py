@@ -379,6 +379,8 @@ def test_tall_table_tile_clamped_by_image_height():
     img = np.random.default_rng(0).integers(0, 255, (256, 1024)).astype(np.uint8)
     lab0 = np.zeros((256, 1024), np.int32)
     lab0[5, 7] = 1
-    key, lab, p, tile, _ = relax_packed_planes(img, lab0, interpret=True)
+    key, lab, p, _col_off, tile, _ = relax_packed_planes(
+        img, lab0, interpret=True
+    )
     assert tile == 256  # clamped to the image height, not the table's 1024
     assert key.shape[0] == 256 + 2 * p  # h2 == h — no row inflation
