@@ -226,18 +226,52 @@ def run_levels_impl(
             from .pallas_relax import relax_packed_planes
             from .scan_merge import component_min_from_padded
 
+            from .scan_merge import _INF as _SCAN_INF
+
             h, w = img.shape
             (
-                _, lab_pad, p, col_off, tile_r, y0, y0_valid, starved,
+                _, lab_pad, p, col_off, tile_r, y0, y0_valid, mstats, starved,
             ) = relax_packed_planes(
                 img, labels0, tile=tile, steps=steps, interpret=interpret,
                 fwd_scan=True,
             )
-            return _flagged(
-                component_min_from_padded(
+            # Single-component shortcut: when the certified fixed point has
+            # NO unclaimed interior pixel and NO claimed border pixel, the
+            # claimed set is the full interior rectangle — one 4-connected
+            # component — so component-min is a broadcast of the global
+            # minimum label (gmin < INF guards the degenerate empty
+            # interior).  This is the common case for full-range u8 fields
+            # without NaN masking; NaN-laced images (interior NEVER_FILL
+            # barriers) and border seeds take the general scan tail.  The
+            # statistics ride the relax kernel's fused epilogue for free
+            # (ops.pallas_relax), so the shortcut costs one write-only
+            # broadcast pass instead of ~3 read+write scan rounds.
+            any_izero, any_cl_border, gmin = mstats
+            fast = (
+                y0_valid
+                & jnp.logical_not(any_izero)
+                & jnp.logical_not(any_cl_border)
+                & (gmin < jnp.int32(_SCAN_INF))
+            )
+
+            def _broadcast(_):
+                rr = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+                cc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                interior = (
+                    (rr >= 1) & (rr <= h - 2) & (cc >= 1) & (cc <= w - 2)
+                )
+                return jnp.where(interior, gmin, jnp.int32(0))
+
+            def _scan_tail(args):
+                lab_pad, y0, y0_valid = args
+                return component_min_from_padded(
                     lab_pad, p=p, h=h, w=w, tile=tile_r, interpret=interpret,
                     y0=y0, y0_valid=y0_valid, col_off=col_off,
-                ),
+                )
+
+            return _flagged(
+                jax.lax.cond(fast, _broadcast, _scan_tail,
+                             (lab_pad, y0, y0_valid)),
                 starved,
             )
 

@@ -53,26 +53,38 @@ def _pointer_jump(parent: jnp.ndarray) -> jnp.ndarray:
 
 
 def _adjacency_min(cur: jnp.ndarray, n_labels: int) -> jnp.ndarray:
-    """Per-label min of differently-coloured 4-neighbour labels.
+    """Per-label min partner over the reference's merge pairs.
 
     ``cur`` is the current (compressed) label image.  Returns ``adj`` of shape
     (n_labels + 1,), with INT32_MAX where a label touches no other label.
-    Centres are interior-only, matching the reference's window semantics
-    (a pair of two *border* pixels is never recorded, SURVEY.md §2 #5).
+    Pairs follow the reference's window semantics exactly (src/lib.rs:
+    411-436): one pair per (interior coloured centre, differing coloured
+    4-neighbour) — the NEIGHBOUR may be a border pixel (a 3x3 window centred
+    next to the border still sees it), but two *border* pixels are never
+    paired (no window is centred on a border pixel, SURVEY.md §2 #5).
+
+    Every pair is scattered into BOTH labels' table entries: the reference's
+    ``Merge([own, other])`` lowers both sides to the set minimum, and the
+    one-directional hook ``parent[u] <- parent[adj[u]]`` only converges when
+    each pair is visible from each side.  Centre-centre pairs are symmetric
+    by construction; centre-border pairs are NOT (the border label has no
+    centre of its own), which under-merged user-painted border seeds until
+    r8 — caught by tests/test_component_shortcut.py's border-seed case.
     """
-    up, down, left, right = roll4(cur)
-
-    def differing(n):
-        return jnp.where((n != UNCOLOURED) & (n != cur), n, _BIG)
-
-    diff_min = jnp.minimum(
-        jnp.minimum(differing(up), differing(down)),
-        jnp.minimum(differing(left), differing(right)),
-    )
     valid = (cur != UNCOLOURED) & interior_mask(cur.shape[-2:])
-    diff_min = jnp.where(valid, diff_min, _BIG)
     adj = jnp.full((n_labels + 1,), _BIG, dtype=jnp.int32)
-    return adj.at[cur.reshape(-1)].min(diff_min.reshape(-1), mode="drop")
+    oob = jnp.int32(n_labels + 1)  # mode="drop" discards masked scatters
+    for n in roll4(cur):
+        pair = valid & (n != UNCOLOURED) & (n != cur)
+        # centre -> neighbour ...
+        adj = adj.at[jnp.where(pair, cur, oob).reshape(-1)].min(
+            jnp.where(pair, n, _BIG).reshape(-1), mode="drop"
+        )
+        # ... and neighbour -> centre (covers border-pixel neighbours).
+        adj = adj.at[jnp.where(pair, n, oob).reshape(-1)].min(
+            jnp.where(pair, cur, _BIG).reshape(-1), mode="drop"
+        )
+    return adj
 
 
 def merge_touching(labels: jnp.ndarray, n_labels: int) -> jnp.ndarray:

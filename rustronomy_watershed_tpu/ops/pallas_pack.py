@@ -34,6 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import NEVER_FILL
 from .pallas_relax import _UNCLAIMED
 _HALO = 8  # mask needs 1 row; 8 keeps sublane DMA slices aligned
+_PACK_TILE_CAP = 128  # pack is DMA-bound; short bands keep Mosaic's scoped
+# footprint small (the relax kernel's tall stripe tiles OOM'd the pack pass
+# at 8448 lanes: 122.96 MiB scoped at tile 352 vs ~40 MiB at 128)
+
+
+def _pack_tile(h2: int, cap: int = _PACK_TILE_CAP) -> int:
+    """Largest 8-multiple band height <= cap dividing the padded height —
+    the pack grid is NOT bound to the relax band tile (any divisor grid
+    writes the same plane; the sequential seed-count carry works at any
+    band height)."""
+    for t in range(min(cap, h2), 7, -8):
+        if h2 % t == 0:
+            return t
+    return 8
 
 
 def pack_prep(
@@ -236,6 +250,7 @@ def pack_domain_fused(
     img8 = pack_prep(img, tile, steps, wp=wp, col_off=col_off)
     hp, wp = img8.shape
     p = steps
+    tile = _pack_tile(hp - 2 * p)  # decoupled from the relax band tile
     gy = (hp - 2 * p) // tile
     wh = tile + 2 * _HALO
 

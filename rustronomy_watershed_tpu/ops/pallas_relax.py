@@ -218,9 +218,9 @@ def _relax_kernel(
 ):
     if fused_scan is None:
         v2, key2, lab2, sems = rest
-        y_out = yst = ycarry = None
+        y_out = yst = ycarry = mstats_ref = None
     else:
-        y_out, v2, key2, lab2, yst, ycarry, sems = rest
+        y_out, mstats_ref, v2, key2, lab2, yst, ycarry, sems = rest
     t, p = tile, steps
     win = t + 2 * p
     i = pl.program_id(0)
@@ -234,6 +234,11 @@ def _relax_kernel(
 
     flags_ref[i, 0] = 0
     sat_ref[i, 0] = 0
+    if fused_scan is not None:
+        # Neutral defaults (inactive bands never reach the epilogue).
+        mstats_ref[i, 0] = 0
+        mstats_ref[i, 1] = 0
+        mstats_ref[i, 2] = jnp.int32(_SCAN_INF)
 
     # Window DMAs.  The key/label windows are split into a TOP-HALO region
     # (p rows — the only rows band i-1's in-place centre write overlaps) and
@@ -472,7 +477,7 @@ def _relax_kernel(
         # passes active=ones and pipelined=True); the driver discards y_out
         # unless this call's witness certified convergence.
         if fused_scan is not None:
-            col_lo, col_hi = fused_scan
+            col_lo, col_hi, real_h = fused_scan
             x = flab[p : p + t, :]
             wps = x.shape[1]
             rr = jax.lax.broadcasted_iota(jnp.int32, (t, wps), 0)
@@ -496,6 +501,36 @@ def _relax_kernel(
                 yst, y_out.at[pl.ds(i * t, t), :], sems.at[slot, 7]
             )
             co.start()
+            # Single-component shortcut statistics (ops.level_driver): when
+            # the fixed point has NO unclaimed interior pixel and NO claimed
+            # border pixel, the claimed set is the full interior rectangle —
+            # ONE 4-connected component — so component-min is a broadcast of
+            # the global minimum label and the whole scan tail is skipped.
+            # Three per-band scalars over data already in registers:
+            #   [0] any unclaimed interior pixel (component splitter),
+            #   [1] any claimed border pixel (border cells merge h-only —
+            #       quirk semantics the broadcast cannot reproduce),
+            #   [2] min claimed interior label.
+            # Valid under exactly y0's condition (this call certified).
+            grow = rr + i * t
+            claimed = x != 0
+            interior = (
+                (grow >= 1)
+                & (grow <= real_h - 2)
+                & (ccs > col_lo)
+                & (ccs < col_hi)
+            )
+            border = (
+                (grow == 0)
+                | (grow == real_h - 1)
+                | (ccs == col_lo)
+                | (ccs == col_hi)
+            )
+            mstats_ref[i, 0] = jnp.max(
+                (interior & jnp.logical_not(claimed)).astype(jnp.int32)
+            )
+            mstats_ref[i, 1] = jnp.max((border & claimed).astype(jnp.int32))
+            mstats_ref[i, 2] = jnp.min(jnp.where(interior & claimed, x, inf))
             co.wait()
 
     if pipelined:
@@ -572,12 +607,14 @@ def relax_block(
     (tiled/shard_map use — see the kernel comment); the sweeps themselves
     always run full-width.
 
-    ``fused_scan=(col_lo, col_hi)`` additionally emits the forward-vertical
-    segmented-min scan of the final label plane (the merging component-min
-    pass 1, ops.scan_merge) as a fifth result y of shape (hp - 2*steps, wp)
-    — valid ONLY when this call certified convergence (not_converged ==
-    False).  Requires pipelined=True and an all-active band set: the scan's
-    cross-band carry needs every band to compute, in grid order.
+    ``fused_scan=(col_lo, col_hi, real_h)`` additionally emits the
+    forward-vertical segmented-min scan of the final label plane (the
+    merging component-min pass 1, ops.scan_merge) as a result y of shape
+    (hp - 2*steps, wp), plus per-band single-component statistics mstats
+    (gy, 3) — see the kernel epilogue comment — BOTH valid ONLY when this
+    call certified convergence (not_converged == False).  Requires
+    pipelined=True and an all-active band set: the scan's cross-band carry
+    needs every band to compute, in grid order.
     """
     if tile < steps:
         raise ValueError(
@@ -616,6 +653,10 @@ def relax_block(
     if fused_scan is not None:
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct((gy * tile, wp), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((gy, 3), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((gy, 3), jnp.int32))
         scratch += [
             pltpu.VMEM((tile, wp), jnp.int32),
             pltpu.VMEM((1, wp), jnp.int32),
@@ -652,7 +693,7 @@ def relax_block(
     )(active, v_pad, key_pad, lab_pad)
     key2, lab2, flags, chg, sat = outs[:5]
     base = (key2, lab2, flags[:, 0], chg[0, 0] > 0, sat[:, 0])
-    return base + (outs[5],) if fused_scan is not None else base
+    return base + (outs[5], outs[6]) if fused_scan is not None else base
 
 
 _STRIPE_HALO = 128  # lane-dim halo per stripe side (DMA lane granularity)
@@ -825,9 +866,9 @@ def _relax_kernel2d(
     """
     if fused_scan is None:
         v2, key2, lab2, sems = rest
-        y_out = yst = ycarry = None
+        y_out = yst = ycarry = mstats_ref = None
     else:
-        y_out, v2, key2, lab2, yst, ycarry, sems = rest
+        y_out, mstats_ref, v2, key2, lab2, yst, ycarry, sems = rest
     t, p = tile, steps
     win = t + 2 * p
     hs = _STRIPE_HALO
@@ -986,12 +1027,11 @@ def _relax_kernel2d(
     # post-sweep ghosts, and the y plane's pad lanes must be genuine zero
     # barriers or the tail's violation stencil could loop forever.
     if fused_scan is not None:
-        col_lo, col_hi = fused_scan
+        col_lo, col_hi, real_h = fused_scan
         col0 = cb * cw
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (t, cwin), 1)
-        x = jnp.where(
-            (lane_w >= hs) & (lane_w < hs + cw), flab[p : p + t, :], 0
-        )
+        centre_l = (lane_w >= hs) & (lane_w < hs + cw)
+        x = jnp.where(centre_l, flab[p : p + t, :], 0)
         rr = jax.lax.broadcasted_iota(jnp.int32, (t, cwin), 0)
         ccs = lane_w + col0
         inf = jnp.int32(_SCAN_INF)
@@ -1009,6 +1049,31 @@ def _relax_kernel2d(
         y = jnp.where(reset, 0, sfinal)
         y = jnp.where((ccs == col_lo) | (ccs == col_hi), x, y)
         yst[...] = y
+
+        # Single-component shortcut statistics (see _relax_kernel's fused
+        # epilogue).  The interior-unclaimed flag additionally masks to the
+        # CENTRE lanes: x is zeroed on halo lanes, which would otherwise
+        # false-trigger; claimed-border and the min are immune (x != 0
+        # implies a centre lane).
+        grow = rr + i * t
+        claimed = x != 0
+        interior = (
+            (grow >= 1)
+            & (grow <= real_h - 2)
+            & (ccs > col_lo)
+            & (ccs < col_hi)
+        )
+        border = (
+            (grow == 0)
+            | (grow == real_h - 1)
+            | (ccs == col_lo)
+            | (ccs == col_hi)
+        )
+        mstats_ref[gidx, 0] = jnp.max(
+            (interior & centre_l & jnp.logical_not(claimed)).astype(jnp.int32)
+        )
+        mstats_ref[gidx, 1] = jnp.max((border & claimed).astype(jnp.int32))
+        mstats_ref[gidx, 2] = jnp.min(jnp.where(interior & claimed, x, inf))
 
         def emit_y(cw0, cws):
             co = pltpu.make_async_copy(
@@ -1098,6 +1163,10 @@ def relax_block2d(
     if fused_scan is not None:
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct((gy * tile, wp), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((nprog, 3), lambda *_: (0, 0), memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nprog, 3), jnp.int32))
         scratch += [
             pltpu.VMEM((tile, cwin), jnp.int32),
             pltpu.VMEM((1, cwin), jnp.int32),
@@ -1127,7 +1196,7 @@ def relax_block2d(
     )(v_pad, key_in, lab_in, key_dst, lab_dst)
     key2, lab2, flags, chg, sat = outs[:5]
     base = (key2, lab2, flags[:, 0], chg[0, 0] > 0, sat[:, 0])
-    return base + (outs[5],) if fused_scan is not None else base
+    return base + (outs[5], outs[6]) if fused_scan is not None else base
 
 
 def relax_fixed_point2d(
@@ -1154,8 +1223,11 @@ def relax_fixed_point2d(
         steps=steps, interpret=interpret, fused_scan=fused_scan,
     )
     if fused_scan is not None:
-        key, lab, _, not_conv, sat, y0 = first
+        key, lab, _, not_conv, sat, y0, ms = first
         y0_valid = jnp.logical_not(not_conv)
+        mstats = (
+            jnp.max(ms[:, 0]) > 0, jnp.max(ms[:, 1]) > 0, jnp.min(ms[:, 2])
+        )
     else:
         key, lab, _, not_conv, sat = first
 
@@ -1172,7 +1244,7 @@ def relax_fixed_point2d(
     )
     starved = jnp.any(sat > 0)
     if fused_scan is not None:
-        return key, lab, y0, y0_valid, starved
+        return key, lab, y0, y0_valid, mstats, starved
     return key, lab, starved
 
 
@@ -1235,6 +1307,7 @@ def relax_fixed_point_fused(
     *,
     col_lo,
     col_hi,
+    real_h,
     tile=DEFAULT_TILE,
     steps=DEFAULT_STEPS,
     interpret=False,
@@ -1246,15 +1319,18 @@ def relax_fixed_point_fused(
     chain length) that call usually both converges and certifies, so its y
     output IS the scan-merge pass-1 plane and the separate fwd read of the
     label plane (ops.scan_merge) is skipped.  Returns
-    (key, lab, y0, y0_valid, starved); y0 is garbage when y0_valid is False
-    (the caller falls back to the standalone fwd pass — bit-identical either
-    way); ``starved`` is the d-field saturation flag (see relax_fixed_point).
+    (key, lab, y0, y0_valid, mstats, starved); y0 is garbage when y0_valid
+    is False (the caller falls back to the standalone fwd pass —
+    bit-identical either way); ``mstats = (any_unclaimed_interior,
+    any_claimed_border, interior_min_label)`` are the single-component
+    shortcut scalars (valid under y0_valid — see the kernel epilogue);
+    ``starved`` is the d-field saturation flag (see relax_fixed_point).
     """
     hp, _ = v_pad.shape
     p = steps
     gy = (hp - 2 * p) // tile
 
-    key, lab, flags, not_conv, sat, y0 = relax_block(
+    key, lab, flags, not_conv, sat, y0, ms = relax_block(
         v_pad,
         key_pad,
         lab_pad,
@@ -1263,9 +1339,10 @@ def relax_fixed_point_fused(
         steps=steps,
         interpret=interpret,
         pipelined=True,
-        fused_scan=(col_lo, col_hi),
+        fused_scan=(col_lo, col_hi, real_h),
     )
     y0_valid = jnp.logical_not(not_conv)
+    mstats = (jnp.max(ms[:, 0]) > 0, jnp.max(ms[:, 1]) > 0, jnp.min(ms[:, 2]))
 
     def body(state):
         key, lab, active, _, sat_bands = state
@@ -1285,7 +1362,7 @@ def relax_fixed_point_fused(
     key, lab, _, _, sat = jax.lax.while_loop(
         lambda s: s[3], body, (key, lab, _dilate_flags(flags), not_conv, sat)
     )
-    return key, lab, y0, y0_valid, jnp.any(sat > 0)
+    return key, lab, y0, y0_valid, mstats, jnp.any(sat > 0)
 
 
 def resolve_relax_config(
@@ -1372,9 +1449,10 @@ def relax_packed_planes(
     unclaimed cell, so downstream kernels (ops.scan_merge) can consume the
     padded plane directly with out-of-domain cells acting as barriers.
 
-    ``fwd_scan=True`` (merging path) inserts (y0, y0_valid) before starved:
-    the component-min forward-vertical pass fused into the converging relax
-    call (see relax_fixed_point_fused).
+    ``fwd_scan=True`` (merging path) inserts (y0, y0_valid, mstats) before
+    starved: the component-min forward-vertical pass fused into the
+    converging relax call plus the single-component shortcut scalars
+    (see relax_fixed_point_fused).
 
     Wide images run the column-blocked kernel (resolve_stripe_config —
     col_off = _STRIPE_HALO there, else col_off = steps); ``stripes=(nx,
@@ -1420,12 +1498,12 @@ def relax_packed_planes(
                 img, labels0, tile, steps, wp=wp, col_off=hs
             )
         if fwd_scan:
-            key, lab, y0, y0_valid, starved = relax_fixed_point2d(
+            key, lab, y0, y0_valid, mstats, starved = relax_fixed_point2d(
                 v_pad, key_pad, lab_pad, nx=nx, cw=cw, tile=tile,
                 steps=steps, interpret=interpret,
-                fused_scan=(hs, hs + w - 1),
+                fused_scan=(hs, hs + w - 1, h),
             )
-            return key, lab, steps, hs, tile, y0, y0_valid, starved
+            return key, lab, steps, hs, tile, y0, y0_valid, mstats, starved
         key, lab, starved = relax_fixed_point2d(
             v_pad, key_pad, lab_pad, nx=nx, cw=cw, tile=tile, steps=steps,
             interpret=interpret,
@@ -1442,17 +1520,18 @@ def relax_packed_planes(
     else:
         v_pad, key_pad, lab_pad = pack_domain(img, labels0, tile, steps)
     if fwd_scan:
-        key, lab, y0, y0_valid, starved = relax_fixed_point_fused(
+        key, lab, y0, y0_valid, mstats, starved = relax_fixed_point_fused(
             v_pad,
             key_pad,
             lab_pad,
             col_lo=steps,
             col_hi=steps + w - 1,
+            real_h=h,
             tile=tile,
             steps=steps,
             interpret=interpret,
         )
-        return key, lab, steps, steps, tile, y0, y0_valid, starved
+        return key, lab, steps, steps, tile, y0, y0_valid, mstats, starved
     key, lab, starved = relax_fixed_point(
         v_pad, key_pad, lab_pad, tile=tile, steps=steps, interpret=interpret
     )

@@ -222,9 +222,9 @@ def test_fused_fwd_scan_epilogue_matches_standalone_pass(rng):
     # steps=8 -> multi-call (fallback path).
     for steps, tile in ((40, 40), (8, 16)):
         v_pad, key_pad, lab_pad = pack_domain(img, lab0, tile, steps)
-        _, lab, y0, y0_valid, _ = relax_fixed_point_fused(
+        _, lab, y0, y0_valid, _mstats, _ = relax_fixed_point_fused(
             v_pad, key_pad, lab_pad, col_lo=steps, col_hi=steps + 56 - 1,
-            tile=tile, steps=steps, interpret=True,
+            real_h=40, tile=tile, steps=steps, interpret=True,
         )
         h2 = lab.shape[0] - 2 * steps
         want = np.asarray(

@@ -89,7 +89,7 @@ def test_stripe_merging_tail(rng, dense_seeds):
         img, lab0, steps=steps, interpret=True, stripes=(2, 256),
         fwd_scan=True,
     )
-    _, l2, pf, cf, tf, y0, y0v, _ = out
+    _, l2, pf, cf, tf, y0, y0v, _mstats, _ = out
     if dense_seeds:
         assert bool(y0v)  # one-call certify: y0 rode the relax call
     merged = component_min_from_padded(
