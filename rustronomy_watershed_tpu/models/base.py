@@ -587,6 +587,7 @@ class _WatershedBase(WatershedUtils):
                     max_water_level=self.max_water_level,
                     backend=backend,
                     interpret=self._interpret,
+                    with_final=False,  # curves only — skip the merged plane
                 )
                 if starved:
                     # Saturation-safe fallback: exact engine (see transform).
@@ -597,6 +598,7 @@ class _WatershedBase(WatershedUtils):
                         n_labels=bucket,
                         max_water_level=self.max_water_level,
                         backend="relax",
+                        with_final=False,
                     )
             elif backend == "relax_pallas":
                 _, sizes, starved = run_levels(

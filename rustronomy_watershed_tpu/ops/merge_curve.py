@@ -110,10 +110,14 @@ clip_levels_u8 = cache_resilient(
 @cache_resilient
 @partial(
     jax.jit,
-    static_argnames=("n_labels", "max_water_level", "backend", "tile", "steps", "interpret"),
+    static_argnames=(
+        "n_labels", "max_water_level", "backend", "tile", "steps",
+        "interpret", "with_final",
+    ),
 )
 def _device_curves(
-    img, labels0, *, n_labels, max_water_level, backend, tile, steps, interpret
+    img, labels0, *, n_labels, max_water_level, backend, tile, steps,
+    interpret, with_final=True,
 ):
     """One device program: relax + edges + final labels + compact planes.
 
@@ -150,9 +154,15 @@ def _device_curves(
     lo, hi, act, n = merge_edges_impl(
         labels, claim_levels, max_water_level=max_water_level
     )
-    final = component_min_labels(
-        labels, use_pallas=(backend == "relax_pallas"), interpret=interpret
-    )
+    # The final merged plane is OPTIONAL: transform_to_list only returns the
+    # curves, and the component-min scan rounds would otherwise run (and
+    # write a plane) for a result the caller discards.
+    if with_final:
+        final = component_min_labels(
+            labels, use_pallas=(backend == "relax_pallas"), interpret=interpret
+        )
+    else:
+        final = labels
     # levels <= 255 and the clip reserves `levels` for never-claimed pixels,
     # so uint8 is lossless (max_water_level <= 254 by construction).
     lv8 = jnp.clip(claim_levels, 0, max_water_level + 1).astype(jnp.uint8)
@@ -272,6 +282,7 @@ def relax_merging_sizes(
     tile=None,
     steps=None,
     interpret: bool = False,
+    with_final: bool = True,
 ):
     """Merging ``transform_to_list`` data via the relax engine.
 
@@ -280,6 +291,9 @@ def relax_merging_sizes(
     collect='sizes') on the level-sweep backends; ``starved`` (host bool) is
     the relax_pallas d-field saturation flag (the caller should re-run on
     an exact engine when True — the compact planes are unreliable then).
+    ``with_final=False`` skips the merged-plane computation entirely (first
+    element is then the UNMERGED segmenting plane) — the public
+    transform_to_list discards it, so its scan rounds are pure waste there.
     """
     img = jnp.asarray(img)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
@@ -292,6 +306,7 @@ def relax_merging_sizes(
         tile=tile,
         steps=steps,
         interpret=interpret,
+        with_final=with_final,
     )
     # Two host round-trips total: the scalars (n gates the edge slice), then
     # ONE batched fetch of the compact planes + sliced edges — on tunnelled

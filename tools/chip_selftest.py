@@ -10,7 +10,9 @@ computes.  This script is the hardware counterpart of tests/: it compares
   2. the fused pack kernel (mask + numbering + packed planes) vs host NumPy,
   3. relax_pallas end-to-end labels vs the C++ oracle (parity/oracle.cc —
      exact reference semantics, no JAX/XLA involved) at full 254 levels,
-     both variants (segmenting + merging),
+     both variants (segmenting + merging), plus the striped (column-
+     blocked) engine on a forced 2-stripe grid — both variants again
+     (merging exercises the single-component broadcast shortcut on-chip),
   4. relax_pallas lake-size curves vs the C++ oracle's,
 
 on the ambient (TPU) platform.  Exit code 0 == all checks passed.
@@ -153,9 +155,11 @@ def main():
     img_np = rng.integers(0, 254, size=(osz, osz)).astype(np.uint8)
     img = jax.device_put(jnp.asarray(img_np))
     seeds = native_find_local_minima(img_np)
+    want_by_variant = {}
     for merging in (False, True):
         t0 = time.time()
         want = native_transform(img_np, seeds, 254, merging=merging)
+        want_by_variant[merging] = want
         t_or = time.time() - t0
         got = np.asarray(
             jax.jit(
@@ -173,6 +177,34 @@ def main():
             (got == want).all(),
             f"{(got != want).sum()} diffs, oracle {t_or:.1f}s",
         )
+
+    # Striped (column-blocked) engine on REAL hardware vs the same oracle
+    # outputs.  The resolver only engages stripes at >= ~6k lanes by itself;
+    # a forced 2-stripe grid compiles + runs the 2-D Mosaic kernel (and, for
+    # merging on this dense field, the single-component broadcast shortcut)
+    # at probe scale.  interpret-mode CPU parity cannot certify this kernel
+    # on the chip (see the module docstring's bf16 lesson).
+    os.environ["RWT_RELAX_STRIPES"] = f"2,{(osz // 2 + 127) // 128 * 128}"
+    try:
+        for merging in (False, True):
+            got = np.asarray(
+                jax.jit(
+                    partial(
+                        watershed_e2e_impl,
+                        max_water_level=254,
+                        merging=merging,
+                        backend="relax_pallas",
+                    )
+                )(img)
+            )
+            name = "merging" if merging else "segmenting"
+            ok &= check(
+                f"striped relax_pallas {name} vs C++ oracle @ {osz}²",
+                (got == want_by_variant[merging]).all(),
+                f"{(got != want_by_variant[merging]).sum()} diffs",
+            )
+    finally:
+        del os.environ["RWT_RELAX_STRIPES"]
 
     # merging transform_to_list through the public API (the merge_curve
     # fast path: device edge extraction + host Kruskal) vs the oracle's
