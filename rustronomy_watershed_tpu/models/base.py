@@ -418,6 +418,42 @@ class _WatershedBase(WatershedUtils):
                 merging=self._merging,
                 collect="none",
             )
+            if (
+                self._merging
+                and backend == "relax_pallas"
+                and self.max_water_level >= 254
+            ):
+                # Per-image broadcast shortcut (ops.level_driver `batch`):
+                # sound only when NO seed sits on a per-image border (a
+                # border seed claims a structural NEVER_FILL cell, breaking
+                # the unclaimed-count bookkeeping in BOTH directions, and
+                # border cells merge h-only — quirk semantics).  Checked
+                # here on the host coordinate lists; the per-image minimum
+                # surviving seed label (keep-last dedup, paint_seeds
+                # semantics) supplies the broadcast values.
+                mins, border_seed = [], False
+                for s in seeds_list:
+                    coords = np.asarray(list(s), dtype=np.int64).reshape(-1, 2)
+                    if coords.shape[0] == 0:
+                        mins.append(0)  # fast gate requires mins > 0
+                        continue
+                    border_seed |= bool(
+                        (
+                            (coords[:, 0] == 0)
+                            | (coords[:, 0] == h - 1)
+                            | (coords[:, 1] == 0)
+                            | (coords[:, 1] == w - 1)
+                        ).any()
+                    )
+                    flat = coords[:, 0] * w + coords[:, 1]
+                    rev_first = np.unique(flat[::-1], return_index=True)[1]
+                    keep = flat.shape[0] - 1 - rev_first
+                    mins.append(
+                        int(np.arange(1, flat.shape[0] + 1)[keep].min())
+                    )
+                if not border_seed:
+                    kw["batch"] = (b, hs, h)
+                    kw["batch_mins"] = jnp.asarray(mins, jnp.int32)
             stacked_img = jnp.asarray(imgs.reshape(b * hs, w))
             stacked_lab = labels0.reshape(b * hs, w)
             if backend == "relax_pallas":

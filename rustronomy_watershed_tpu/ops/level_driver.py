@@ -135,6 +135,8 @@ def run_levels_impl(
     steps: int | None = None,
     interpret: bool = False,
     with_flags: bool = False,
+    batch: tuple | None = None,
+    batch_mins=None,
 ):
     """Run the full transform.
 
@@ -150,6 +152,20 @@ def run_levels_impl(
       tile/steps/interpret: pallas kernel tuning (steps = sweeps fused per
         HBM round-trip; interpret=True runs the kernel on CPU for testing).
         None picks the backend's tuned default (flood 64/8, relax 256/16).
+      batch: static ``(b, hs, h_img)`` when ``img`` is a VERTICALLY STACKED
+        batch of ``b`` images of ``h_img`` rows at stride ``hs`` rows each
+        (models/base.transform_batch's merging layout: per-image NEVER_FILL
+        borders + one separator row).  Enables the per-image broadcast
+        shortcut: when the unclaimed-interior COUNT equals exactly the
+        stacking structure's NEVER_FILL cell count ``(3b-2)*(w-2)``, every
+        image's claimed set is its full interior rectangle (one 4-connected
+        component each), so the merged labels are per-image seed-min
+        broadcasts.  The caller must guarantee NO seed sits on any
+        per-image border (a border seed on a structural cell is claimed and
+        shifts the count both ways — transform_batch checks the coordinate
+        lists on the host and omits ``batch`` otherwise).
+      batch_mins: (b,) int32 — per-image minimum surviving seed label
+        (keep-last dedup), the broadcast values.  Required with ``batch``.
       with_flags: additionally return a scalar divergence flag as the LAST
         element — True iff the relax_pallas engine detected d-field
         saturation (a >= 2^23-px plateau starving label donation;
@@ -246,21 +262,62 @@ def run_levels_impl(
             # statistics ride the relax kernel's fused epilogue for free
             # (ops.pallas_relax), so the shortcut costs one write-only
             # broadcast pass instead of ~3 read+write scan rounds.
-            any_izero, any_cl_border, gmin = mstats
-            fast = (
-                y0_valid
-                & jnp.logical_not(any_izero)
-                & jnp.logical_not(any_cl_border)
-                & (gmin < jnp.int32(_SCAN_INF))
-            )
-
-            def _broadcast(_):
-                rr = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-                cc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-                interior = (
-                    (rr >= 1) & (rr <= h - 2) & (cc >= 1) & (cc <= w - 2)
+            n_uncl, any_cl_border, gmin = mstats
+            if batch is not None:
+                # Batched stacked plane: the per-image border/separator rows
+                # are structural NEVER_FILL cells — always unclaimed (the
+                # caller guarantees no border seeds, so none is claimed, and
+                # every one of them lies inside the stacked plane's global
+                # interior except the global border itself).  The fixed
+                # point has every per-image interior cell claimed iff the
+                # unclaimed count equals EXACTLY that structural count:
+                # rows {h_img-1, h_img} of image 0, {0, h_img-1, h_img} of
+                # middle images, {0, h_img-1} of the last (its separator IS
+                # the global border row) = 3b-2 rows of w-2 interior cells.
+                # Then each image's claimed set is its full (h_img-2)x(w-2)
+                # rectangle — one component — and component-min is the
+                # per-image minimum surviving seed label (batch_mins).
+                bsz, hs_b, h_img = batch
+                if batch_mins is None:
+                    raise ValueError("batch requires batch_mins")
+                mins = jnp.asarray(batch_mins, jnp.int32)
+                if mins.shape != (bsz,):
+                    raise ValueError("batch_mins must be shape (b,)")
+                structural = jnp.int32((3 * bsz - 2) * (w - 2))
+                fast = (
+                    y0_valid
+                    & (n_uncl == structural)
+                    & jnp.logical_not(any_cl_border)
+                    & jnp.all(mins > 0)
                 )
-                return jnp.where(interior, gmin, jnp.int32(0))
+
+                def _broadcast(_):
+                    rr = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+                    cc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                    wi = rr % hs_b  # row within the image's hs-row slot
+                    interior = (
+                        (wi >= 1)
+                        & (wi <= h_img - 2)
+                        & (cc >= 1)
+                        & (cc <= w - 2)
+                    )
+                    return jnp.where(interior, mins[rr // hs_b], jnp.int32(0))
+
+            else:
+                fast = (
+                    y0_valid
+                    & (n_uncl == 0)
+                    & jnp.logical_not(any_cl_border)
+                    & (gmin < jnp.int32(_SCAN_INF))
+                )
+
+                def _broadcast(_):
+                    rr = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+                    cc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                    interior = (
+                        (rr >= 1) & (rr <= h - 2) & (cc >= 1) & (cc <= w - 2)
+                    )
+                    return jnp.where(interior, gmin, jnp.int32(0))
 
             def _scan_tail(args):
                 lab_pad, y0, y0_valid = args
@@ -420,6 +477,7 @@ run_levels = cache_resilient(
             "steps",
             "interpret",
             "with_flags",
+            "batch",
         ),
     )(run_levels_impl)
 )

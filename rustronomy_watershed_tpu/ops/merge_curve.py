@@ -124,9 +124,10 @@ def _device_curves(
     Deliberately does NOT build the (levels, K+1) cumulative count table on
     device: at 1024² that table is ~134 MB and its download dominated the
     whole entry point on tunnelled links (r1 VERDICT weak #3, 9.6 s e2e).
-    Instead the (H, W) label plane (int32) and claim levels (clipped to the
-    level range, uint8) — ~5 MB — go to the host, which rebuilds the exact
-    same table with one bincount + cumsum (host_cumulative_counts).
+    Instead the (H, W) label plane (uint16 wire format when K+1 < 2^16,
+    else int32) and claim levels (clipped to the level range, uint8) —
+    ~3 MB at 1024² — go to the host, which rebuilds the exact same table
+    with one bincount + cumsum (host_cumulative_counts).
     """
     from .priority import relax_transform
     from .scan_merge import component_min_labels
@@ -166,7 +167,14 @@ def _device_curves(
     # levels <= 255 and the clip reserves `levels` for never-claimed pixels,
     # so uint8 is lossless (max_water_level <= 254 by construction).
     lv8 = jnp.clip(claim_levels, 0, max_water_level + 1).astype(jnp.uint8)
-    return final, labels, lv8, lo, hi, act, n, starved
+    # Wire format: label buckets < 2^16 ship the label plane as uint16 —
+    # it is the biggest download on the to_list path and the tunnel moves
+    # ~12 MB/s, so halving it saves ~0.17 s at 1024².  Cast HERE (inside
+    # the one device program), not eagerly — a separate astype dispatch
+    # costs ~26 ms on this tunnel.  The host tail re-widens on arrival
+    # (native_merged_curve / host_cumulative_counts coerce dtypes anyway).
+    wire = labels.astype(jnp.uint16) if n_labels + 1 < 2**16 else labels
+    return final, wire, lv8, lo, hi, act, n, starved
 
 
 def host_cumulative_counts(

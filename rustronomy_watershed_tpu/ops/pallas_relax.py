@@ -507,11 +507,17 @@ def _relax_kernel(
             # ONE 4-connected component — so component-min is a broadcast of
             # the global minimum label and the whole scan tail is skipped.
             # Three per-band scalars over data already in registers:
-            #   [0] any unclaimed interior pixel (component splitter),
+            #   [0] COUNT of unclaimed interior pixels (0 = no component
+            #       splitter; the batched stacked plane compares the count
+            #       against its known structural NEVER_FILL cell count —
+            #       see level_driver's per-image broadcast shortcut),
             #   [1] any claimed border pixel (border cells merge h-only —
             #       quirk semantics the broadcast cannot reproduce),
             #   [2] min claimed interior label.
             # Valid under exactly y0's condition (this call certified).
+            # The count is exact: bands partition the output rows and the
+            # 1-D band kernel has no column halos, so every (row, col)
+            # interior cell is summed exactly once.
             grow = rr + i * t
             claimed = x != 0
             interior = (
@@ -526,7 +532,7 @@ def _relax_kernel(
                 | (ccs == col_lo)
                 | (ccs == col_hi)
             )
-            mstats_ref[i, 0] = jnp.max(
+            mstats_ref[i, 0] = jnp.sum(
                 (interior & jnp.logical_not(claimed)).astype(jnp.int32)
             )
             mstats_ref[i, 1] = jnp.max((border & claimed).astype(jnp.int32))
@@ -1069,7 +1075,10 @@ def _relax_kernel2d(
             | (ccs == col_lo)
             | (ccs == col_hi)
         )
-        mstats_ref[gidx, 0] = jnp.max(
+        # [0] is a COUNT (see _relax_kernel's epilogue); the centre-lane mask
+        # keeps it exact across stripes: each global cell is a centre lane of
+        # exactly one stripe, so the per-band sums partition the interior.
+        mstats_ref[gidx, 0] = jnp.sum(
             (interior & centre_l & jnp.logical_not(claimed)).astype(jnp.int32)
         )
         mstats_ref[gidx, 1] = jnp.max((border & claimed).astype(jnp.int32))
@@ -1226,7 +1235,7 @@ def relax_fixed_point2d(
         key, lab, _, not_conv, sat, y0, ms = first
         y0_valid = jnp.logical_not(not_conv)
         mstats = (
-            jnp.max(ms[:, 0]) > 0, jnp.max(ms[:, 1]) > 0, jnp.min(ms[:, 2])
+            jnp.sum(ms[:, 0]), jnp.max(ms[:, 1]) > 0, jnp.min(ms[:, 2])
         )
     else:
         key, lab, _, not_conv, sat = first
@@ -1321,9 +1330,11 @@ def relax_fixed_point_fused(
     label plane (ops.scan_merge) is skipped.  Returns
     (key, lab, y0, y0_valid, mstats, starved); y0 is garbage when y0_valid
     is False (the caller falls back to the standalone fwd pass —
-    bit-identical either way); ``mstats = (any_unclaimed_interior,
+    bit-identical either way); ``mstats = (n_unclaimed_interior,
     any_claimed_border, interior_min_label)`` are the single-component
-    shortcut scalars (valid under y0_valid — see the kernel epilogue);
+    shortcut scalars — the first is an exact COUNT so the batched stacked
+    plane can compare it against its structural NEVER_FILL cell count
+    (valid under y0_valid — see the kernel epilogue);
     ``starved`` is the d-field saturation flag (see relax_fixed_point).
     """
     hp, _ = v_pad.shape
@@ -1342,7 +1353,7 @@ def relax_fixed_point_fused(
         fused_scan=(col_lo, col_hi, real_h),
     )
     y0_valid = jnp.logical_not(not_conv)
-    mstats = (jnp.max(ms[:, 0]) > 0, jnp.max(ms[:, 1]) > 0, jnp.min(ms[:, 2]))
+    mstats = (jnp.sum(ms[:, 0]), jnp.max(ms[:, 1]) > 0, jnp.min(ms[:, 2]))
 
     def body(state):
         key, lab, active, _, sat_bands = state

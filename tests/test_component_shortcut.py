@@ -98,3 +98,110 @@ def test_empty_interior_guard(rng):
     from rustronomy_watershed_tpu.ops.scan_merge import _INF
 
     assert gmin == _INF
+
+
+# -- batched per-image broadcast shortcut (ops.level_driver `batch`) --------
+
+
+def _stacked_merging_case(rng, b=3, h=20, w=24, border_seed=False, nan_blob=False):
+    """Build the exact stacked plane transform_batch's merging path builds,
+    plus the per-image seed lists / mins it derives on the host."""
+    from rustronomy_watershed_tpu.ops.seeds import paint_seeds
+
+    imgs = rng.integers(0, 254, size=(b, h, w)).astype(np.uint8)
+    if nan_blob:
+        imgs[1, 5:9, 6:10] = NEVER_FILL  # interior barrier in image 1
+    seeds_list = [
+        [(3, 4), (h - 4, w - 5), (7, 9)],
+        [(2, 2), (6, 11)],
+        # image 2: seed 1's coordinate is overwritten by seed 3 (keep-last
+        # dedup), so the surviving minimum label is 2, NOT 1 — exercises the
+        # host-side min computation the broadcast depends on.
+        [(4, w - 4), (9, 9), (4, w - 4), (h - 3, 3)],
+    ][:b]
+    if border_seed:
+        seeds_list[1] = seeds_list[1] + [(0, 5)]
+    labels0 = jnp.stack([paint_seeds((h, w), s) for s in seeds_list])
+    imgs[:, 0, :] = NEVER_FILL
+    imgs[:, -1, :] = NEVER_FILL
+    imgs[:, :, 0] = NEVER_FILL
+    imgs[:, :, -1] = NEVER_FILL
+    hs = h + 1
+    sep = np.full((b, hs, w), NEVER_FILL, dtype=np.uint8)
+    sep[:, :h] = imgs
+    labels0 = jnp.pad(labels0, ((0, 0), (0, 1), (0, 0)))
+    stacked_img = jnp.asarray(sep.reshape(b * hs, w))
+    stacked_lab = labels0.reshape(b * hs, w)
+    mins = []
+    for s in seeds_list:
+        coords = np.asarray(list(s), dtype=np.int64).reshape(-1, 2)
+        flat = coords[:, 0] * w + coords[:, 1]
+        rev_first = np.unique(flat[::-1], return_index=True)[1]
+        keep = flat.shape[0] - 1 - rev_first
+        mins.append(int(np.arange(1, flat.shape[0] + 1)[keep].min()))
+    return stacked_img, stacked_lab, seeds_list, mins, (b, hs, h, w)
+
+
+def test_batched_count_matches_structural(rng):
+    """On a clean stacked batch the kernel's unclaimed-interior COUNT equals
+    exactly the stacking structure's (3b-2)*(w-2) NEVER_FILL cells."""
+    stacked_img, stacked_lab, _, _, (b, hs, h, w) = _stacked_merging_case(rng)
+    out = relax_packed_planes(
+        stacked_img, stacked_lab, interpret=True, fwd_scan=True, steps=64
+    )
+    _, _, _, _, _, _, y0_valid, mstats, _ = out
+    n_uncl, any_border, _ = mstats
+    assert bool(y0_valid) and not bool(any_border)
+    assert int(n_uncl) == (3 * b - 2) * (w - 2)
+
+
+@pytest.mark.parametrize("case", ["clean", "border_seed", "nan_blob"])
+def test_batched_broadcast_matches_scan_tail(rng, case):
+    """run_levels with `batch` must be bit-identical to the general scan
+    tail — the broadcast fires on the clean case and must FALL BACK (via the
+    count mismatch) on the NaN-blob case.  The border-seed case never passes
+    `batch` (transform_batch's host check) but parity is pinned anyway."""
+    stacked_img, stacked_lab, _, mins, (b, hs, h, w) = _stacked_merging_case(
+        rng, border_seed=(case == "border_seed"), nan_blob=(case == "nan_blob")
+    )
+    kw = dict(
+        n_labels=16, max_water_level=254, merging=True,
+        backend="relax_pallas", interpret=True,
+    )
+    want = run_levels_impl(stacked_img, stacked_lab, **kw)
+    if case != "border_seed":
+        got = run_levels_impl(
+            stacked_img, stacked_lab,
+            batch=(b, hs, h), batch_mins=jnp.asarray(mins, jnp.int32), **kw
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # and the stacked plane agrees with per-image single transforms
+    want3 = np.asarray(want).reshape(b, hs, w)[:, :h]
+    for i in range(b):
+        img_i = np.asarray(stacked_img).reshape(b, hs, w)[i, :h]
+        lab_i = np.asarray(stacked_lab).reshape(b, hs, w)[i, :h]
+        single = run_levels_impl(
+            jnp.asarray(img_i), jnp.asarray(lab_i), **kw
+        )
+        np.testing.assert_array_equal(want3[i], np.asarray(single))
+
+
+def test_transform_batch_merging_uses_shortcut_path(rng):
+    """Public API: batched merging with the relax_pallas backend (interpret
+    mode) is bit-identical to per-image transforms on a clean batch."""
+    from rustronomy_watershed_tpu import TransformBuilder
+
+    b, h, w = 3, 18, 22
+    imgs = rng.integers(0, 254, size=(b, h, w)).astype(np.uint8)
+    ws = (
+        TransformBuilder.default()
+        .set_max_water_lvl(254)
+        .set_backend("relax_pallas")
+        .build_merging()
+    )
+    ws._interpret = True
+    seeds_list = [ws.find_local_minima(im) for im in imgs]
+    batched = ws.transform_batch(imgs, seeds_list)
+    for i in range(b):
+        single = ws.transform(imgs[i], seeds_list[i])
+        np.testing.assert_array_equal(batched[i], single, err_msg=f"img{i}")
