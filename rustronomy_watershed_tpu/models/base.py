@@ -85,6 +85,13 @@ def _expand_rows(
     the base alive, which is the documented trade for the 2x-faster
     default path."""
     levels = max_water_level + 1
+    sizes = np.asarray(sizes)
+    if sizes.shape == (levels, counts_length) and sizes.dtype == np.int64:
+        # Already at result width and dtype (the native merged-curve tail
+        # writes rows at counts_length directly): every caller hands a
+        # freshly-allocated table, so the rows can ship as views without
+        # the 2x block copy (~0.15 s of the 1024² to_list wall).
+        return list(enumerate(sizes))
     out = np.zeros((levels, counts_length), dtype=np.int64)
     k = min(sizes.shape[1], counts_length)
     out[:, :k] = sizes[:levels, :k]
@@ -559,6 +566,11 @@ class _WatershedBase(WatershedUtils):
             )
         img, labels0 = self._prepare(input_img, seeds)
         bucket = _label_bucket(len(seeds))
+        if counts_length is None:
+            # Reference row length: n_pixels + 1 (src/lib.rs:630, Q10) —
+            # resolved HERE so the host merged-curve tail can write rows at
+            # result width directly (no expand/truncate copy afterwards).
+            counts_length = int(np.prod(img.shape)) + 1
         if self.mesh is not None and self._merging:
             # Merging curves on a mesh: ONE tiled relax pass exposes the
             # (labels, claim levels) planes (collect='claims'); the host
@@ -595,6 +607,7 @@ class _WatershedBase(WatershedUtils):
                 np.asarray(lo[:n]),
                 np.asarray(hi[:n]),
                 np.asarray(act[:n]),
+                out_width=counts_length,
             )
         elif self.mesh is not None:
             from ..parallel.tiled import tiled_transform
@@ -624,6 +637,7 @@ class _WatershedBase(WatershedUtils):
                     backend=backend,
                     interpret=self._interpret,
                     with_final=False,  # curves only — skip the merged plane
+                    out_width=counts_length,
                 )
                 if starved:
                     # Saturation-safe fallback: exact engine (see transform).
@@ -635,6 +649,7 @@ class _WatershedBase(WatershedUtils):
                         max_water_level=self.max_water_level,
                         backend="relax",
                         with_final=False,
+                        out_width=counts_length,
                     )
             elif backend == "relax_pallas":
                 _, sizes, starved = run_levels(
@@ -672,8 +687,6 @@ class _WatershedBase(WatershedUtils):
                     backend=backend,
                 )
         sizes = np.asarray(sizes)
-        if counts_length is None:
-            counts_length = int(np.prod(img.shape)) + 1
         return _expand_rows(sizes, counts_length, self.max_water_level)
 
     def transform_history(self, input_img, seeds) -> list[tuple[int, np.ndarray]]:

@@ -167,14 +167,37 @@ def _device_curves(
     # levels <= 255 and the clip reserves `levels` for never-claimed pixels,
     # so uint8 is lossless (max_water_level <= 254 by construction).
     lv8 = jnp.clip(claim_levels, 0, max_water_level + 1).astype(jnp.uint8)
-    # Wire format: label buckets < 2^16 ship the label plane as uint16 —
-    # it is the biggest download on the to_list path and the tunnel moves
-    # ~12 MB/s, so halving it saves ~0.17 s at 1024².  Cast HERE (inside
-    # the one device program), not eagerly — a separate astype dispatch
-    # costs ~26 ms on this tunnel.  The host tail re-widens on arrival
-    # (native_merged_curve / host_cumulative_counts coerce dtypes anyway).
-    wire = labels.astype(jnp.uint16) if n_labels + 1 < 2**16 else labels
+    # Wire format (downloads are the to_list wall — the tunnel moves
+    # ~12 MB/s): label buckets < 2^16 ship the label plane as uint16 +
+    # the uint8 level plane (3 B/px); buckets < 2^24 PACK label and level
+    # into one uint32 plane (4 B/px vs 5 for int32+uint8 — the lv8 fetch
+    # is skipped entirely, unpack_wire splits on arrival); only buckets
+    # >= 2^24 ship int32+uint8.  Cast/pack HERE (inside the one device
+    # program), not eagerly — a separate dispatch costs ~26 ms of tunnel
+    # latency.  The host tail re-widens on arrival (native_merged_curve /
+    # host_cumulative_counts coerce dtypes anyway).
+    if n_labels + 1 < 2**16:
+        wire = labels.astype(jnp.uint16)
+    elif n_labels + 1 < 2**24:
+        wire = labels.astype(jnp.uint32) | (lv8.astype(jnp.uint32) << 24)
+    else:
+        wire = labels
     return final, wire, lv8, lo, hi, act, n, starved
+
+
+def unpack_wire(wire_np: np.ndarray, lv8_np=None):
+    """(int32 labels, uint8 claim levels) from the device wire format.
+
+    uint32 wire = the packed tier (label in bits 0-23, clipped claim level
+    in bits 24-31 — see _device_curves); other dtypes are the label plane
+    itself, with ``lv8_np`` carrying the levels."""
+    w = np.asarray(wire_np)
+    if w.dtype == np.uint32:
+        return (
+            (w & np.uint32(0xFFFFFF)).astype(np.int32),
+            (w >> np.uint32(24)).astype(np.uint8),
+        )
+    return w, np.asarray(lv8_np)
 
 
 def host_cumulative_counts(
@@ -205,17 +228,25 @@ def host_cumulative_counts(
 
 
 def merged_curve_host(
-    labels_np, lv8_np, n_labels: int, max_water_level: int, lo, hi, act
+    labels_np, lv8_np, n_labels: int, max_water_level: int, lo, hi, act,
+    out_width: int | None = None,
 ) -> np.ndarray:
-    """(levels, K+1) merged sizes from the compact planes: the native C++
-    single pass (parity/oracle.cc merged_curve_oracle — counting-sorted
-    level streaming + union-find, ~10x the NumPy tail) when the toolchain
-    is available, else the bit-identical NumPy pair below."""
+    """(levels, out_width or K+1) merged sizes from the compact planes: the
+    native C++ single pass (parity/oracle.cc merged_curve_oracle —
+    counting-sorted level streaming + incremental per-root sums, ~10x the
+    NumPy tail) when the toolchain is available, else the bit-identical
+    NumPy pair below.
+
+    ``out_width`` = the public counts_length: rows come back already at
+    result width (no second expand/truncate pass; columns beyond K+1 stay
+    calloc-lazy zeros; representatives >= out_width are truncated exactly
+    like the expand path did)."""
     try:
         from ..parity.native import native_merged_curve
 
         return native_merged_curve(
-            labels_np, lv8_np, n_labels, max_water_level, lo, hi, act
+            labels_np, lv8_np, n_labels, max_water_level, lo, hi, act,
+            out_width=out_width,
         )
     except Exception:
         # No g++ (or a broken build cache): the NumPy tail is bit-identical,
@@ -223,9 +254,15 @@ def merged_curve_host(
         cum = host_cumulative_counts(
             np.asarray(labels_np), np.asarray(lv8_np), n_labels, max_water_level
         )
-        return merged_sizes_host(
+        sizes = merged_sizes_host(
             cum, np.asarray(lo), np.asarray(hi), np.asarray(act)
         )
+        if out_width is None or out_width == sizes.shape[1]:
+            return sizes
+        out = np.zeros((sizes.shape[0], out_width), dtype=sizes.dtype)
+        k = min(sizes.shape[1], out_width)
+        out[:, :k] = sizes[:, :k]
+        return out
 
 
 def merged_sizes_host(
@@ -291,6 +328,7 @@ def relax_merging_sizes(
     steps=None,
     interpret: bool = False,
     with_final: bool = True,
+    out_width: int | None = None,
 ):
     """Merging ``transform_to_list`` data via the relax engine.
 
@@ -324,10 +362,18 @@ def relax_merging_sizes(
     if bool(starved):
         # Skip the host rebuild: the planes are unreliable under saturation.
         return final, None, True
-    labels_np, lv8_np, lo_np, hi_np, act_np = jax.device_get(
-        (labels, lv8, lo[:n], hi[:n], act[:n].astype(jnp.uint8))
-    )
+    edges = (lo[:n], hi[:n], act[:n].astype(jnp.uint8))
+    if labels.dtype == jnp.uint32:
+        # Packed wire tier: the level plane rides the label plane's top
+        # byte — one fewer plane through the ~12 MB/s tunnel.
+        wire_np, lo_np, hi_np, act_np = jax.device_get((labels,) + edges)
+        labels_np, lv8_np = unpack_wire(wire_np)
+    else:
+        labels_np, lv8_np, lo_np, hi_np, act_np = jax.device_get(
+            (labels, lv8) + edges
+        )
     sizes = merged_curve_host(
-        labels_np, lv8_np, n_labels, max_water_level, lo_np, hi_np, act_np
+        labels_np, lv8_np, n_labels, max_water_level, lo_np, hi_np, act_np,
+        out_width=out_width,
     )
     return final, sizes, False

@@ -73,6 +73,7 @@ def _lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
         ]
         _LIB = lib
     return _LIB
@@ -114,12 +115,20 @@ def native_transform(
 
 
 def native_merged_curve(
-    labels, lv8, n_labels: int, max_water_level: int, lo, hi, act
+    labels, lv8, n_labels: int, max_water_level: int, lo, hi, act,
+    out_width: int | None = None,
 ) -> np.ndarray:
-    """(levels, K+1) merged per-level lake sizes from the compact planes —
-    the one-pass native twin of ops.merge_curve.host_cumulative_counts +
-    merged_sizes_host (bit-identical integer arithmetic, pinned by
-    tests/test_merge_fast.py::test_native_merged_curve_matches_numpy)."""
+    """(levels, out_width) merged per-level lake sizes from the compact
+    planes — the one-pass native twin of
+    ops.merge_curve.host_cumulative_counts + merged_sizes_host
+    (bit-identical integer arithmetic, pinned by
+    tests/test_merge_fast.py::test_native_merged_curve_matches_numpy).
+
+    ``out_width`` (default K+1) is the caller's counts_length: rows come
+    back already at the public result width (reference rows are n_pixels+1
+    long, src/lib.rs:630), written in place by the native pass — no second
+    expand/truncate copy.  Representatives >= out_width are dropped, the
+    same truncation the expand path applied."""
     labels = np.ascontiguousarray(labels, dtype=np.int32).reshape(-1)
     lv8 = np.ascontiguousarray(lv8, dtype=np.uint8).reshape(-1)
     lo = np.ascontiguousarray(lo, dtype=np.int32)
@@ -127,7 +136,11 @@ def native_merged_curve(
     act = np.ascontiguousarray(act, dtype=np.int32)
     levels = max_water_level + 1
     k1 = n_labels + 1
-    out = np.zeros((levels, k1), dtype=np.int64)
+    if out_width is None:
+        out_width = k1
+    # np.zeros is calloc-lazy: the native pass never touches columns in
+    # [k1, out_width), so a huge reference-length width costs no writes.
+    out = np.zeros((levels, out_width), dtype=np.int64)
     rc = _lib().merged_curve_oracle(
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         lv8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -139,6 +152,7 @@ def native_merged_curve(
         act.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         lo.size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_width,
     )
     if rc != 0:
         raise RuntimeError(f"native merged_curve failed rc={rc}")

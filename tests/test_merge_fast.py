@@ -99,6 +99,46 @@ def test_relax_merging_sizes_matches_level_sweep(rng, shape, hi, maxlvl, backend
     np.testing.assert_array_equal(np.asarray(got_sz), np.asarray(want_sz))
 
 
+def test_relax_merging_sizes_packed_wire_tier(rng):
+    """Label buckets in [2^16, 2^24) ship ONE packed uint32 plane (label |
+    lv8<<24, merge_curve._device_curves) — n_labels is static, so forcing a
+    big bucket on a small image exercises exactly the tier real >=65k-seed
+    images take.  Sizes must match the small-bucket run column-for-column,
+    and out_width must ride through."""
+    img, lab0, k = _field(rng, (40, 52), 20)
+    _, small, _ = relax_merging_sizes(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=18,
+        backend="relax",
+    )
+    _, packed, _ = relax_merging_sizes(
+        jnp.asarray(img), lab0, n_labels=70_000, max_water_level=18,
+        backend="relax",
+    )
+    assert packed.shape == (19, 70_001)
+    np.testing.assert_array_equal(packed[:, : k + 1], small)
+    assert (packed[:, k + 1 :] == 0).all()
+    _, narrow, _ = relax_merging_sizes(
+        jnp.asarray(img), lab0, n_labels=70_000, max_water_level=18,
+        backend="relax", out_width=k + 1,
+    )
+    np.testing.assert_array_equal(narrow, small)
+
+
+def test_unpack_wire_roundtrip():
+    from rustronomy_watershed_tpu.ops.merge_curve import unpack_wire
+
+    r = np.random.default_rng(7)
+    lab = r.integers(0, 2**24, size=257).astype(np.int32)
+    lv = r.integers(0, 256, size=257).astype(np.uint8)
+    wire = lab.astype(np.uint32) | (lv.astype(np.uint32) << 24)
+    got_lab, got_lv = unpack_wire(wire)
+    np.testing.assert_array_equal(got_lab, lab)
+    np.testing.assert_array_equal(got_lv, lv)
+    # Non-packed tiers pass through.
+    got_lab, got_lv = unpack_wire(lab.astype(np.uint16), lv)
+    assert got_lab.dtype == np.uint16 and got_lv is not None
+
+
 def test_merge_edges_dedup_and_activation(rng):
     # Hand-checkable: two regions meeting along a line, claimed at known
     # levels -> one unique edge with the minimal activation level.
@@ -271,6 +311,23 @@ def test_native_merged_curve_matches_numpy(rng):
         want = merged_sizes_host(cum, lo2.astype(np.int64), hi2.astype(np.int64), act)
         got = native.native_merged_curve(labels, lv8, k, maxlvl, lo2, hi2, act)
         np.testing.assert_array_equal(got, want, err_msg=f"trial={trial}")
+
+        # out_width contract: rows at result width directly.  Wider =
+        # zero-padded (untouched calloc tail); narrower = representatives
+        # >= out_width truncated — exactly what _expand_rows applied.
+        wide = native.native_merged_curve(
+            labels, lv8, k, maxlvl, lo2, hi2, act, out_width=k + 9
+        )
+        assert wide.shape == (levels, k + 9)
+        np.testing.assert_array_equal(wide[:, : k + 1], want)
+        assert (wide[:, k + 1 :] == 0).all()
+        narrow_w = max(2, k - 7)
+        narrow = native.native_merged_curve(
+            labels, lv8, k, maxlvl, lo2, hi2, act, out_width=narrow_w
+        )
+        np.testing.assert_array_equal(
+            narrow, want[:, :narrow_w], err_msg=f"trial={trial} narrow"
+        )
 
 
 def test_tail_tile_divisor_choice():

@@ -23,6 +23,7 @@ def main():
     from rustronomy_watershed_tpu.ops.merge_curve import (
         _device_curves,
         merged_curve_host,
+        unpack_wire,
     )
     from rustronomy_watershed_tpu.ops.seeds import (
         local_extrema_mask,
@@ -49,10 +50,14 @@ def main():
         )
         n_host = int(n)  # scalar fetch = device sync point
         t1 = time.perf_counter()
-        labels_np, lv8_np, lo_np, hi_np, act_np = jax.device_get(
-            (labels, lv8, lo[:n_host], hi[:n_host],
-             act[:n_host].astype(jnp.uint8))
-        )
+        edges = (lo[:n_host], hi[:n_host], act[:n_host].astype(jnp.uint8))
+        if labels.dtype == jnp.uint32:  # packed wire tier
+            wire_np, lo_np, hi_np, act_np = jax.device_get((labels,) + edges)
+            labels_np, lv8_np = unpack_wire(wire_np)
+        else:
+            labels_np, lv8_np, lo_np, hi_np, act_np = jax.device_get(
+                (labels, lv8) + edges
+            )
         t2 = time.perf_counter()
         sizes = merged_curve_host(labels_np, lv8_np, bucket, 254, lo_np,
                                   hi_np, act_np)
