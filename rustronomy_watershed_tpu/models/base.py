@@ -571,12 +571,14 @@ class _WatershedBase(WatershedUtils):
             # resolved HERE so the host merged-curve tail can write rows at
             # result width directly (no expand/truncate copy afterwards).
             counts_length = int(np.prod(img.shape)) + 1
-        if self.mesh is not None and self._merging:
-            # Merging curves on a mesh: ONE tiled relax pass exposes the
-            # (labels, claim levels) planes (collect='claims'); the host
-            # rebuilds the per-level merged histograms exactly like the
-            # single-device merge_curve path (edges + Kruskal) — instead of
-            # replaying 255 per-level sweep rounds over ICI.
+        if self.mesh is not None:
+            # Curves on a mesh (BOTH variants): ONE tiled relax pass exposes
+            # the (labels, claim levels) planes (collect='claims'); the host
+            # rebuilds the per-level histograms exactly like the
+            # single-device merge_curve path — instead of replaying 255
+            # per-level sweep rounds over ICI.  The merging variant adds the
+            # adjacency edges + Kruskal union; segmenting labels never merge,
+            # so its histograms are the cumulative claim counts (zero edges).
             from ..ops.merge_curve import (
                 clip_levels_u8,
                 merge_edges,
@@ -593,10 +595,18 @@ class _WatershedBase(WatershedUtils):
                 merging=False,
                 collect="claims",
             )
-            lo, hi, act, n = merge_edges(
-                labels, L, max_water_level=self.max_water_level
-            )
-            n = int(n)
+            if self._merging:
+                lo, hi, act, n = merge_edges(
+                    labels, L, max_water_level=self.max_water_level
+                )
+                n = int(n)
+                lo, hi, act = (
+                    np.asarray(lo[:n]),
+                    np.asarray(hi[:n]),
+                    np.asarray(act[:n]),
+                )
+            else:
+                lo = hi = act = np.zeros((0,), np.int32)
             sizes = merged_curve_host(
                 np.asarray(labels),
                 np.asarray(
@@ -604,29 +614,19 @@ class _WatershedBase(WatershedUtils):
                 ),
                 bucket,
                 self.max_water_level,
-                np.asarray(lo[:n]),
-                np.asarray(hi[:n]),
-                np.asarray(act[:n]),
+                lo,
+                hi,
+                act,
                 out_width=counts_length,
-            )
-        elif self.mesh is not None:
-            from ..parallel.tiled import tiled_transform
-
-            _, sizes = tiled_transform(
-                img,
-                labels0,
-                self.mesh,
-                n_labels=bucket,
-                max_water_level=self.max_water_level,
-                merging=self._merging,
-                collect="sizes",
             )
         else:
             backend = self._resolved_backend("sizes")
-            if self._merging and backend in ("relax", "relax_pallas"):
-                # Merging per-level curves via ONE relax pass + host union
-                # over the deduplicated label-adjacency edges — the
-                # level-sweep replay is ~100x slower (ops.merge_curve).
+            if backend in ("relax", "relax_pallas"):
+                # Per-level curves via ONE relax pass + compact planes to the
+                # host (plus, for merging, the host union over deduplicated
+                # label-adjacency edges) — the level-sweep replay is ~100x
+                # slower AND ships a (levels, K+1) device table whose
+                # download dominates on tunnelled links (ops.merge_curve).
                 from ..ops.merge_curve import relax_merging_sizes
 
                 _, sizes, starved = relax_merging_sizes(
@@ -638,6 +638,7 @@ class _WatershedBase(WatershedUtils):
                     interpret=self._interpret,
                     with_final=False,  # curves only — skip the merged plane
                     out_width=counts_length,
+                    merging=self._merging,
                 )
                 if starved:
                     # Saturation-safe fallback: exact engine (see transform).
@@ -650,30 +651,7 @@ class _WatershedBase(WatershedUtils):
                         backend="relax",
                         with_final=False,
                         out_width=counts_length,
-                    )
-            elif backend == "relax_pallas":
-                _, sizes, starved = run_levels(
-                    img,
-                    labels0,
-                    n_labels=bucket,
-                    max_water_level=self.max_water_level,
-                    merging=self._merging,
-                    collect="sizes",
-                    sweep_fn=None,
-                    backend=backend,
-                    interpret=self._interpret,
-                    with_flags=True,
-                )
-                if bool(starved):
-                    self._sat_fallback_warn()
-                    _, sizes = run_levels(
-                        img,
-                        labels0,
-                        n_labels=bucket,
-                        max_water_level=self.max_water_level,
                         merging=self._merging,
-                        collect="sizes",
-                        backend="relax",
                     )
             else:
                 _, sizes = run_levels(

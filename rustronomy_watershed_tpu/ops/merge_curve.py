@@ -112,14 +112,19 @@ clip_levels_u8 = cache_resilient(
     jax.jit,
     static_argnames=(
         "n_labels", "max_water_level", "backend", "tile", "steps",
-        "interpret", "with_final",
+        "interpret", "with_final", "with_edges",
     ),
 )
 def _device_curves(
     img, labels0, *, n_labels, max_water_level, backend, tile, steps,
-    interpret, with_final=True,
+    interpret, with_final=True, with_edges=True,
 ):
     """One device program: relax + edges + final labels + compact planes.
+
+    ``with_edges=False`` serves the SEGMENTING curves (labels never merge,
+    so the per-level histograms are pure cumulative claim counts — no
+    adjacency edges needed): the merge-edge extraction is skipped and
+    zero-length edge arrays come back.
 
     Deliberately does NOT build the (levels, K+1) cumulative count table on
     device: at 1024² that table is ~134 MB and its download dominated the
@@ -152,9 +157,15 @@ def _device_curves(
             img, labels0, max_water_level=max_water_level
         )
         starved = jnp.bool_(False)
-    lo, hi, act, n = merge_edges_impl(
-        labels, claim_levels, max_water_level=max_water_level
-    )
+    if with_edges:
+        lo, hi, act, n = merge_edges_impl(
+            labels, claim_levels, max_water_level=max_water_level
+        )
+    else:
+        lo = jnp.zeros((0,), jnp.int32)
+        hi = jnp.zeros((0,), jnp.int32)
+        act = jnp.zeros((0,), jnp.int32)
+        n = jnp.int32(0)
     # The final merged plane is OPTIONAL: transform_to_list only returns the
     # curves, and the component-min scan rounds would otherwise run (and
     # write a plane) for a result the caller discards.
@@ -329,8 +340,9 @@ def relax_merging_sizes(
     interpret: bool = False,
     with_final: bool = True,
     out_width: int | None = None,
+    merging: bool = True,
 ):
-    """Merging ``transform_to_list`` data via the relax engine.
+    """``transform_to_list`` data via the relax engine (BOTH variants).
 
     Returns (final merged labels, (levels, K+1) merged per-level sizes,
     starved) — bit-identical to run_levels(..., merging=True,
@@ -340,6 +352,16 @@ def relax_merging_sizes(
     ``with_final=False`` skips the merged-plane computation entirely (first
     element is then the UNMERGED segmenting plane) — the public
     transform_to_list discards it, so its scan rounds are pure waste there.
+
+    ``merging=False`` computes the SEGMENTING curves (the reference's
+    segmenting ``transform_to_list``, src/lib.rs:1551-1561 with the
+    non-merging watershed): labels never change once claimed, so the
+    per-level histograms are exactly the cumulative claim counts the host
+    tail already builds — the edge extraction and union steps degenerate
+    away (zero edges), and the same one-relax-pass + compact-planes wire
+    replaces the per-level device table whose download dominated this
+    entry point (a (255, K+1) int32 table is ~134 MB at 1024²; the planes
+    are ~4 MB).
     """
     img = jnp.asarray(img)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
@@ -352,7 +374,9 @@ def relax_merging_sizes(
         tile=tile,
         steps=steps,
         interpret=interpret,
-        with_final=with_final,
+        # component-min is the MERGED plane — meaningless for segmenting.
+        with_final=with_final and merging,
+        with_edges=merging,
     )
     # Two host round-trips total: the scalars (n gates the edge slice), then
     # ONE batched fetch of the compact planes + sliced edges — on tunnelled

@@ -99,6 +99,70 @@ def test_relax_merging_sizes_matches_level_sweep(rng, shape, hi, maxlvl, backend
     np.testing.assert_array_equal(np.asarray(got_sz), np.asarray(want_sz))
 
 
+@pytest.mark.parametrize(
+    "shape,hi,maxlvl",
+    [((40, 52), 20, 18), ((48, 36), 254, 254), ((56, 56), 4, 3)],
+)
+@pytest.mark.parametrize("backend", ["relax", "relax_pallas"])
+def test_relax_segmenting_sizes_matches_level_sweep(rng, shape, hi, maxlvl, backend):
+    """merging=False: the segmenting curves from ONE relax pass (cumulative
+    claim counts, zero edges) must match the per-level sweep driver
+    column-for-column — this is the compact-planes path the public
+    segmenting transform_to_list now takes."""
+    img, lab0, k = _field(rng, shape, hi)
+    want_lab, want_sz = run_levels(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=maxlvl,
+        merging=False, backend="jnp", collect="sizes",
+    )
+    got_lab, got_sz, _ = relax_merging_sizes(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=maxlvl,
+        backend=backend, interpret=(backend == "relax_pallas"),
+        merging=False,
+    )
+    np.testing.assert_array_equal(np.asarray(got_lab), np.asarray(want_lab))
+    np.testing.assert_array_equal(np.asarray(got_sz), np.asarray(want_sz))
+
+
+def test_relax_segmenting_sizes_never_fill(rng):
+    """NEVER_FILL (255) pixels stay uncoloured at every level: the compact
+    path's uncoloured column must track the sweep driver's exactly."""
+    img = rng.integers(0, 200, size=(44, 40)).astype(np.uint8)
+    img[::7, ::5] = 255
+    lab0 = seed_labels_from_mask(local_extrema_mask(jnp.asarray(img)))
+    k = int(jnp.max(lab0))
+    _, want = run_levels(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=254,
+        merging=False, backend="jnp", collect="sizes",
+    )
+    _, got, _ = relax_merging_sizes(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=254,
+        backend="relax", merging=False,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_segmenting_transform_to_list_public_api(rng):
+    # Public surface: segmenting transform_to_list identical between the
+    # compact-planes fast path (auto backend) and the level-sweep driver.
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 30, size=(28, 36)).astype(np.uint8)
+    fast = TransformBuilder.default().set_max_water_lvl(29).build_segmenting()
+    slow = (
+        TransformBuilder.default()
+        .set_max_water_lvl(29)
+        .set_backend("jnp")
+        .build_segmenting()
+    )
+    seeds = fast.find_local_minima(img)
+    a = fast.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+    b = slow.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+    assert len(a) == len(b) == 30
+    for (la, ca), (lb, cb) in zip(a, b):
+        assert la == lb
+        np.testing.assert_array_equal(ca, cb)
+
+
 def test_relax_merging_sizes_packed_wire_tier(rng):
     """Label buckets in [2^16, 2^24) ship ONE packed uint32 plane (label |
     lv8<<24, merge_curve._device_curves) — n_labels is static, so forcing a

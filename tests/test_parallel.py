@@ -487,6 +487,33 @@ def test_mesh_edge_correction_transform_and_to_list(rng):
         np.testing.assert_array_equal(cg, cw)
 
 
+def test_mesh_segmenting_to_list_matches_single(rng):
+    """Segmenting transform_to_list on a mesh now rides the same
+    collect='claims' compact-planes path as merging (one tiled relax pass +
+    host cumulative counts, zero edges) — must match the single-device
+    level-sweep result row-for-row, including on a non-dividing shape."""
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 12, size=(29, 27)).astype(np.uint8)
+
+    def build(mesh):
+        b = TransformBuilder.default().set_max_water_lvl(11)
+        if mesh is not None:
+            b = b.set_mesh(mesh)
+        return b.build_segmenting()
+
+    ws_single = build(None)
+    seeds = ws_single.find_local_minima(img) or [(5, 5), (20, 20)]
+    want = ws_single.transform_to_list(img, seeds, counts_length=len(seeds) + 1)
+    got = build(make_mesh(8)).transform_to_list(
+        img, seeds, counts_length=len(seeds) + 1
+    )
+    assert len(got) == len(want) == 12
+    for (lw, cw), (lg, cg) in zip(want, got):
+        assert lw == lg
+        np.testing.assert_array_equal(cg, cw)
+
+
 def test_mesh_hook_with_edge_correction_and_progress(rng, tmp_path, capsys):
     """Full observability stack (hook + progress + plots) on the mesh with
     edge correction: views bit-match the single-device run (padded shape,

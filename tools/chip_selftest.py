@@ -13,7 +13,9 @@ computes.  This script is the hardware counterpart of tests/: it compares
      both variants (segmenting + merging), plus the striped (column-
      blocked) engine on a forced 2-stripe grid — both variants again
      (merging exercises the single-component broadcast shortcut on-chip),
-  4. relax_pallas lake-size curves vs the C++ oracle's,
+  4. relax_pallas lake-size curves vs the C++ oracle's, and the public
+     transform_to_list of BOTH variants (merging = compact planes + edge
+     Kruskal; segmenting = compact planes + cumulative counts),
 
 on the ambient (TPU) platform.  Exit code 0 == all checks passed.
 
@@ -224,6 +226,21 @@ def main():
         f"merging transform_to_list (merge_curve) vs C++ oracle @ {msz}²",
         (got_msz == want_msz).all(),
         f"{(got_msz != want_msz).sum()} diffs",
+    )
+
+    # segmenting transform_to_list through the public API (the compact-
+    # planes path: one relax pass + host cumulative counts, zero edges)
+    # vs the oracle's per-level histograms.
+    ws_seg = TransformBuilder.default().build_segmenting()
+    _, want_ssz = native_transform(
+        mimg, mseeds, 254, merging=False, with_sizes=True
+    )
+    curve_s = ws_seg.transform_to_list(mimg, mseeds, counts_length=len(mseeds) + 1)
+    got_ssz = np.stack([np.asarray(c[1]) for c in curve_s])
+    ok &= check(
+        f"segmenting transform_to_list (compact planes) vs C++ oracle @ {msz}²",
+        (got_ssz == want_ssz).all(),
+        f"{(got_ssz != want_ssz).sum()} diffs",
     )
 
     # sizes curve (segmenting collect='sizes' vs oracle with_sizes)
