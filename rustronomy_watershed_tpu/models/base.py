@@ -213,7 +213,10 @@ class _WatershedBase(WatershedUtils):
             # validation already restricts the combination).
             return "jnp"
         cpu = jax.default_backend() == "cpu"
-        if not self._merging or collect in ("none", "sizes"):
+        if not self._merging or collect in ("none", "sizes", "history"):
+            # Merging 'history' joined the relax-served collects in round 9:
+            # per-level merged snapshots rebuild on host from the compact
+            # planes (ops.merge_curve.relax_history).
             return "relax" if cpu else "relax_pallas"
         return "jnp" if cpu else "pallas"
 
@@ -677,54 +680,100 @@ class _WatershedBase(WatershedUtils):
         the host-stepped loop, which ships one label plane per level and
         accumulates in host RAM instead."""
         route_host = self._needs_host_loop()
-        if not route_host:
+        backend = self._resolved_backend("history")
+        compact = self.mesh is not None or backend in ("relax", "relax_pallas")
+        if not route_host and not compact:
             levels = self.max_water_level + 1
             # np.shape, NOT np.asarray(...).shape: the latter would force a
             # full device->host copy of a device array just to read a shape.
+            # (The compact-planes paths never build the device snapshot
+            # stack, so the HBM ceiling only gates the level-sweep
+            # backends.)
             stack_bytes = 4 * levels * int(np.prod(np.shape(input_img)))
-            shards = 1
-            if self.mesh is not None:
-                shards = int(np.prod(list(self.mesh.shape.values())))
             # Conservative per-device HBM budget: the transform itself needs
             # a few plane-sized buffers on top of the snapshot stack.
-            route_host = stack_bytes // shards > 8 * 1024**3
+            route_host = stack_bytes > 8 * 1024**3
         if route_host:
             return self._clone_with_hook(
                 lambda ctx: (ctx.water_level, ctx.colours.copy())
             )._host_stepped(input_img, seeds)
         img, labels0 = self._prepare(input_img, seeds)
+        bucket = _label_bucket(len(seeds))
         if self.mesh is not None:
+            # History on a mesh: the same collect='claims' tiled pass as
+            # transform_to_list; every per-level snapshot is rebuilt on the
+            # host from the compact planes (plus the merge edges for the
+            # merging variant) instead of stacking (levels, H, W) snapshots
+            # on device and downloading them.
+            from ..ops.merge_curve import (
+                clip_levels_u8,
+                history_from_planes,
+                merge_edges,
+            )
             from ..parallel.tiled import tiled_transform
 
-            _, hist = tiled_transform(
+            labels, L = tiled_transform(
                 img,
                 labels0,
                 self.mesh,
-                n_labels=_label_bucket(len(seeds)),
+                n_labels=bucket,
                 max_water_level=self.max_water_level,
-                merging=self._merging,
-                collect="history",
+                merging=False,
+                collect="claims",
             )
-            hist = np.asarray(hist)
-            return [(lvl, hist[lvl]) for lvl in range(self.max_water_level + 1)]
-        backend = self._resolved_backend("history")
+            lv8 = np.asarray(
+                clip_levels_u8(L, max_water_level=self.max_water_level)
+            )
+            if self._merging:
+                lo, hi, act, n = merge_edges(
+                    labels, L, max_water_level=self.max_water_level
+                )
+                n = int(n)
+                return history_from_planes(
+                    np.asarray(labels),
+                    lv8,
+                    self.max_water_level,
+                    np.asarray(lo[:n]),
+                    np.asarray(hi[:n]),
+                    np.asarray(act[:n]),
+                    n_labels=bucket,
+                )
+            return history_from_planes(
+                np.asarray(labels), lv8, self.max_water_level
+            )
+        if backend in ("relax", "relax_pallas"):
+            from ..ops.merge_curve import relax_history
+
+            snaps, starved = relax_history(
+                img,
+                labels0,
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                backend=backend,
+                interpret=self._interpret,
+                merging=self._merging,
+            )
+            if starved:
+                # Saturation-safe fallback: exact engine (see transform).
+                self._sat_fallback_warn()
+                snaps, _ = relax_history(
+                    img,
+                    labels0,
+                    n_labels=bucket,
+                    max_water_level=self.max_water_level,
+                    backend="relax",
+                    merging=self._merging,
+                )
+            return snaps
         kw = dict(
-            n_labels=_label_bucket(len(seeds)),
+            n_labels=bucket,
             max_water_level=self.max_water_level,
             merging=self._merging,
             collect="history",
             sweep_fn=self._effective_sweep_fn(img.shape),
             interpret=self._interpret,
         )
-        if backend == "relax_pallas":
-            _, hist, starved = run_levels(
-                img, labels0, backend=backend, with_flags=True, **kw
-            )
-            if bool(starved):
-                self._sat_fallback_warn()
-                _, hist = run_levels(img, labels0, backend="relax", **kw)
-        else:
-            _, hist = run_levels(img, labels0, backend=backend, **kw)
+        _, hist = run_levels(img, labels0, backend=backend, **kw)
         hist = np.asarray(hist)
         return [(lvl, hist[lvl]) for lvl in range(self.max_water_level + 1)]
 

@@ -276,6 +276,45 @@ def merged_curve_host(
         return out
 
 
+def _level_edge_buckets(levels: int, lo, hi, act):
+    """Edges sorted by activation level + per-level start offsets."""
+    order = np.argsort(act, kind="stable")
+    lo, hi, act = lo[order], hi[order], act[order]
+    starts = np.searchsorted(act, np.arange(levels + 1))
+    return lo, hi, starts
+
+
+def _union_level(parent: np.ndarray, el: np.ndarray, eh: np.ndarray):
+    """Union one level's edge subgraph into ``parent`` (min-label reps).
+
+    Works on a MINI graph over just the roots the edges touch (parent is
+    fully compressed between levels, so parent[e*] are roots):
+    min-propagate representatives over the per-level edges until stable,
+    then write the touched roots once and re-compress with a single
+    full-table gather (compressed non-roots point AT old roots, which now
+    point at final reps — one hop suffices).  This keeps the O(K) work at
+    one gather per level instead of repeated full-table pointer-jump
+    rounds and np.minimum.at scatters.  Returns the compressed parent.
+    """
+    ra, rb = parent[el], parent[eh]
+    nodes, inv = np.unique(np.concatenate([ra, rb]), return_inverse=True)
+    ia, ib = inv[: el.size], inv[el.size :]
+    rep = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        m = np.minimum(rep[ia], rep[ib])
+        np.minimum.at(rep, ia, m)
+        np.minimum.at(rep, ib, m)
+        r2 = rep[rep]
+        while not np.array_equal(r2, rep):
+            rep = r2
+            r2 = rep[rep]
+        rep = r2
+        if (rep[ia] == rep[ib]).all():
+            break
+    parent[nodes] = nodes[rep]
+    return parent[parent]
+
+
 def merged_sizes_host(
     cum: np.ndarray, lo: np.ndarray, hi: np.ndarray, act: np.ndarray
 ) -> np.ndarray:
@@ -288,40 +327,13 @@ def merged_sizes_host(
     """
     levels, k1 = cum.shape
     parent = np.arange(k1, dtype=np.int64)
-    order = np.argsort(act, kind="stable")
-    lo, hi, act = lo[order], hi[order], act[order]
-    starts = np.searchsorted(act, np.arange(levels + 1))
+    lo, hi, starts = _level_edge_buckets(levels, lo, hi, act)
 
     out = np.zeros_like(cum)
     for lvl in range(levels):
         el, eh = lo[starts[lvl] : starts[lvl + 1]], hi[starts[lvl] : starts[lvl + 1]]
         if el.size:
-            # Union this level's edge subgraph on a MINI graph over just the
-            # roots it touches (parent is fully compressed between levels, so
-            # parent[e*] are roots): min-propagate representatives over the
-            # per-level edges until stable, then write the touched roots once
-            # and re-compress with a single full-table gather (compressed
-            # non-roots point AT old roots, which now point at final reps —
-            # one hop suffices).  This keeps the O(K) work at one gather +
-            # one bincount per level instead of repeated full-table
-            # pointer-jump rounds and np.minimum.at scatters.
-            ra, rb = parent[el], parent[eh]
-            nodes, inv = np.unique(np.concatenate([ra, rb]), return_inverse=True)
-            ia, ib = inv[: el.size], inv[el.size :]
-            rep = np.arange(nodes.size, dtype=np.int64)
-            while True:
-                m = np.minimum(rep[ia], rep[ib])
-                np.minimum.at(rep, ia, m)
-                np.minimum.at(rep, ib, m)
-                r2 = rep[rep]
-                while not np.array_equal(r2, rep):
-                    rep = r2
-                    r2 = rep[rep]
-                rep = r2
-                if (rep[ia] == rep[ib]).all():
-                    break
-            parent[nodes] = nodes[rep]
-            parent = parent[parent]
+            parent = _union_level(parent, el, eh)
         out[lvl] = np.bincount(
             parent, weights=cum[lvl], minlength=k1
         ).astype(cum.dtype)
@@ -378,14 +390,28 @@ def relax_merging_sizes(
         with_final=with_final and merging,
         with_edges=merging,
     )
-    # Two host round-trips total: the scalars (n gates the edge slice), then
-    # ONE batched fetch of the compact planes + sliced edges — on tunnelled
-    # links every separate np.asarray pays its own dispatch+sync latency.
+    fetched = _fetch_curve_planes(labels, lv8, lo, hi, act, n, starved)
+    if fetched is None:
+        # Skip the host rebuild: the planes are unreliable under saturation.
+        return final, None, True
+    labels_np, lv8_np, lo_np, hi_np, act_np = fetched
+    sizes = merged_curve_host(
+        labels_np, lv8_np, n_labels, max_water_level, lo_np, hi_np, act_np,
+        out_width=out_width,
+    )
+    return final, sizes, False
+
+
+def _fetch_curve_planes(labels, lv8, lo, hi, act, n, starved):
+    """Download the compact curve planes + sliced edges in ONE batched
+    device_get (on tunnelled links every separate np.asarray pays its own
+    dispatch+sync latency; the scalars ride a first small fetch because n
+    gates the edge slice).  Returns None under d-field saturation — the
+    planes are unreliable then and the caller must re-run exactly."""
     n, starved = jax.device_get((n, starved))
     n = int(n)
     if bool(starved):
-        # Skip the host rebuild: the planes are unreliable under saturation.
-        return final, None, True
+        return None
     edges = (lo[:n], hi[:n], act[:n].astype(jnp.uint8))
     if labels.dtype == jnp.uint32:
         # Packed wire tier: the level plane rides the label plane's top
@@ -396,8 +422,99 @@ def relax_merging_sizes(
         labels_np, lv8_np, lo_np, hi_np, act_np = jax.device_get(
             (labels, lv8) + edges
         )
-    sizes = merged_curve_host(
-        labels_np, lv8_np, n_labels, max_water_level, lo_np, hi_np, act_np,
-        out_width=out_width,
+    return labels_np, lv8_np, lo_np, hi_np, act_np
+
+
+def history_from_planes(
+    labels_np,
+    lv8_np,
+    max_water_level: int,
+    lo=None,
+    hi=None,
+    act=None,
+    *,
+    n_labels: int | None = None,
+) -> list:
+    """[(level, int32 label snapshot)] rebuilt from the compact planes.
+
+    The per-level snapshot the sweep driver records is exactly
+    ``where(claim <= lvl, rep_lvl[label], 0)``: segmenting labels never
+    change once claimed, and the merging variant's level-``lvl`` labelling
+    is the min-label union of edges activating at <= lvl applied to the
+    segmenting plane (the same Kruskal the curve tail runs —
+    src/lib.rs:1446-1470 semantics).  Pass ``lo/hi/act`` for merging;
+    omit for segmenting (no unions — the gather is skipped entirely).
+
+    This replaces a (levels, H, W) on-device snapshot stack whose download
+    is ~levels x the plane size (1 GB at 1024²/255 levels on this tunnel);
+    the planes are ~4 MB and the rebuild is host-local numpy.
+    """
+    labels_np = np.asarray(labels_np).astype(np.int32, copy=False)
+    lv8_np = np.asarray(lv8_np)
+    levels = max_water_level + 1
+    out = []
+    if lo is None:
+        for lvl in range(levels):
+            out.append(
+                (lvl, np.where(lv8_np <= lvl, labels_np, np.int32(0)))
+            )
+        return out
+    k1 = (int(n_labels) + 1) if n_labels is not None else int(labels_np.max()) + 1
+    parent = np.arange(k1, dtype=np.int64)
+    lo, hi, starts = _level_edge_buckets(
+        levels, np.asarray(lo), np.asarray(hi), np.asarray(act)
     )
-    return final, sizes, False
+    rep_plane = labels_np  # identity LUT until the first union fires
+    for lvl in range(levels):
+        el, eh = lo[starts[lvl] : starts[lvl + 1]], hi[starts[lvl] : starts[lvl + 1]]
+        if el.size:
+            parent = _union_level(parent, el, eh)
+            rep_plane = parent[labels_np].astype(np.int32)
+        out.append((lvl, np.where(lv8_np <= lvl, rep_plane, np.int32(0))))
+    return out
+
+
+def relax_history(
+    img,
+    labels0,
+    *,
+    n_labels: int,
+    max_water_level: int,
+    backend: str = "relax",
+    tile=None,
+    steps=None,
+    interpret: bool = False,
+    merging: bool = True,
+):
+    """``transform_history`` data via ONE relax pass + host rebuild.
+
+    Returns ([(level, snapshot)], starved) — bit-identical to
+    run_levels(..., collect='history') but shipping ~4 MB of compact
+    planes instead of the (levels, H, W) snapshot stack (and with no HBM
+    ceiling on the stack).  ``starved`` mirrors relax_merging_sizes."""
+    img = jnp.asarray(img)
+    labels0 = jnp.asarray(labels0, dtype=jnp.int32)
+    _, labels, lv8, lo, hi, act, n, starved = _device_curves(
+        img,
+        labels0,
+        n_labels=n_labels,
+        max_water_level=max_water_level,
+        backend=backend,
+        tile=tile,
+        steps=steps,
+        interpret=interpret,
+        with_final=False,
+        with_edges=merging,
+    )
+    fetched = _fetch_curve_planes(labels, lv8, lo, hi, act, n, starved)
+    if fetched is None:
+        return None, True
+    labels_np, lv8_np, lo_np, hi_np, act_np = fetched
+    if merging:
+        snaps = history_from_planes(
+            labels_np, lv8_np, max_water_level, lo_np, hi_np, act_np,
+            n_labels=n_labels,
+        )
+    else:
+        snaps = history_from_planes(labels_np, lv8_np, max_water_level)
+    return snaps, False

@@ -163,6 +163,74 @@ def test_segmenting_transform_to_list_public_api(rng):
         np.testing.assert_array_equal(ca, cb)
 
 
+@pytest.mark.parametrize("merging", [False, True])
+@pytest.mark.parametrize("backend", ["relax", "relax_pallas"])
+def test_relax_history_matches_level_sweep(rng, merging, backend):
+    """Per-level snapshots rebuilt from the compact planes (segmenting:
+    claim-level mask; merging: incremental union LUT gather) must equal the
+    sweep driver's device-stacked history plane-for-plane."""
+    from rustronomy_watershed_tpu.ops.merge_curve import relax_history
+
+    img, lab0, k = _field(rng, (40, 52), 20)
+    _, want = run_levels(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=18,
+        merging=merging, backend="jnp", collect="history",
+    )
+    want = np.asarray(want)
+    snaps, starved = relax_history(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=18,
+        backend=backend, interpret=(backend == "relax_pallas"),
+        merging=merging,
+    )
+    assert not starved and len(snaps) == 19
+    for lvl, snap in snaps:
+        assert snap.dtype == np.int32
+        np.testing.assert_array_equal(snap, want[lvl], err_msg=f"lvl={lvl}")
+
+
+def test_relax_history_never_fill_full_depth(rng):
+    from rustronomy_watershed_tpu.ops.merge_curve import relax_history
+
+    img = rng.integers(0, 200, size=(36, 44)).astype(np.uint8)
+    img[::6, ::7] = 255
+    lab0 = seed_labels_from_mask(local_extrema_mask(jnp.asarray(img)))
+    k = int(jnp.max(lab0))
+    _, want = run_levels(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=254,
+        merging=True, backend="jnp", collect="history",
+    )
+    want = np.asarray(want)
+    snaps, _ = relax_history(
+        jnp.asarray(img), lab0, n_labels=k, max_water_level=254,
+        backend="relax", merging=True,
+    )
+    for lvl, snap in snaps:
+        np.testing.assert_array_equal(snap, want[lvl], err_msg=f"lvl={lvl}")
+
+
+def test_transform_history_public_api_both_variants(rng):
+    # Public surface: transform_history identical between the compact-planes
+    # fast path (auto backend) and the level-sweep driver, both variants.
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 14, size=(26, 30)).astype(np.uint8)
+    for build in ("build_segmenting", "build_merging"):
+        fast = getattr(
+            TransformBuilder.default().set_max_water_lvl(13), build
+        )()
+        slow = getattr(
+            TransformBuilder.default().set_max_water_lvl(13).set_backend("jnp"),
+            build,
+        )()
+        seeds = fast.find_local_minima(img)
+        a = fast.transform_history(img, seeds)
+        b = slow.transform_history(img, seeds)
+        assert len(a) == len(b) == 14
+        for (la, ca), (lb, cb) in zip(a, b):
+            assert la == lb
+            np.testing.assert_array_equal(ca, cb, err_msg=build)
+
+
 def test_relax_merging_sizes_packed_wire_tier(rng):
     """Label buckets in [2^16, 2^24) ship ONE packed uint32 plane (label |
     lv8<<24, merge_curve._device_curves) — n_labels is static, so forcing a

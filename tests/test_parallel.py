@@ -514,6 +514,31 @@ def test_mesh_segmenting_to_list_matches_single(rng):
         np.testing.assert_array_equal(cg, cw)
 
 
+@pytest.mark.parametrize("merging", [False, True])
+def test_mesh_transform_history_matches_single(rng, merging):
+    """Public transform_history on a mesh rides the collect='claims'
+    compact-planes rebuild — must match the single-device result
+    plane-for-plane (non-dividing shape)."""
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 10, size=(27, 29)).astype(np.uint8)
+
+    def build(mesh):
+        b = TransformBuilder.default().set_max_water_lvl(9)
+        if mesh is not None:
+            b = b.set_mesh(mesh)
+        return b.build_merging() if merging else b.build_segmenting()
+
+    ws_single = build(None)
+    seeds = ws_single.find_local_minima(img) or [(5, 5), (20, 20)]
+    want = ws_single.transform_history(img, seeds)
+    got = build(make_mesh(8)).transform_history(img, seeds)
+    assert len(got) == len(want) == 10
+    for (lw, cw), (lg, cg) in zip(want, got):
+        assert lw == lg
+        np.testing.assert_array_equal(cg, cw, err_msg=f"lvl={lw}")
+
+
 def test_mesh_hook_with_edge_correction_and_progress(rng, tmp_path, capsys):
     """Full observability stack (hook + progress + plots) on the mesh with
     edge correction: views bit-match the single-device run (padded shape,
