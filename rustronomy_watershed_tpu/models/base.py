@@ -779,7 +779,124 @@ class _WatershedBase(WatershedUtils):
 
     # -- host-stepped path (hooks / plots / progress / debug) ------------------
 
+    def _fast_observer_ok(self) -> bool:
+        """Pure per-level OBSERVERS (hook / plots) can replay bit-identical
+        snapshots rebuilt from the relax engines' compact planes — one
+        device pass instead of 255 host-stepped round trips (~26 ms tunnel
+        latency + a plane download EACH on this platform).  Anything that
+        interacts with the stepping itself stays on the real loop:
+        progress (per-colouring-iteration ticks), debug (split-phase
+        timers), checkpointing (incremental saves are the failure-recovery
+        point), stochastic tie-break / custom sweeps (level-sweep-engine
+        semantics)."""
+        return (
+            not self.debug
+            and not self.progress
+            and self.checkpoint_dir is None
+            and self.tie_break == "min"
+            and self.sweep_fn is None
+            and self.backend != "native"
+            and (
+                self.mesh is not None
+                or self._resolved_backend("history") in ("relax", "relax_pallas")
+            )
+        )
+
+    def _replayed_observers(self, input_img, seeds) -> list:
+        """Hook/plot replay over compact-plane snapshots (one live at a
+        time): identical HookCtx views and plot files to the host-stepped
+        loop — parity pinned by tests/test_merge_fast.py and the history
+        tests (same rebuild machinery)."""
+        img, labels0 = self._prepare(input_img, seeds)
+        bucket = _label_bucket(len(seeds))
+        if self.mesh is not None:
+            from ..ops.merge_curve import (
+                clip_levels_u8,
+                iter_history_from_planes,
+                merge_edges,
+            )
+            from ..parallel.tiled import tiled_transform
+
+            labels, L = tiled_transform(
+                img,
+                labels0,
+                self.mesh,
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                merging=False,
+                collect="claims",
+            )
+            lv8 = np.asarray(
+                clip_levels_u8(L, max_water_level=self.max_water_level)
+            )
+            if self._merging:
+                lo, hi, act, n = merge_edges(
+                    labels, L, max_water_level=self.max_water_level
+                )
+                n = int(n)
+                snaps = iter_history_from_planes(
+                    np.asarray(labels),
+                    lv8,
+                    self.max_water_level,
+                    np.asarray(lo[:n]),
+                    np.asarray(hi[:n]),
+                    np.asarray(act[:n]),
+                    n_labels=bucket,
+                )
+            else:
+                snaps = iter_history_from_planes(
+                    np.asarray(labels), lv8, self.max_water_level
+                )
+        else:
+            from ..ops.merge_curve import relax_history
+
+            backend = self._resolved_backend("history")
+            snaps, starved = relax_history(
+                img,
+                labels0,
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                backend=backend,
+                interpret=self._interpret,
+                merging=self._merging,
+                as_iter=True,
+            )
+            if starved:
+                self._sat_fallback_warn()
+                snaps, _ = relax_history(
+                    img,
+                    labels0,
+                    n_labels=bucket,
+                    max_water_level=self.max_water_level,
+                    backend="relax",
+                    merging=self._merging,
+                    as_iter=True,
+                )
+        seed_colours = tuple(
+            (col, (int(y), int(x))) for col, (y, x) in enumerate(seeds, start=1)
+        )
+        img_np = np.asarray(img)
+        results = []
+        for lvl, labels_np in snaps:
+            if self.plot_path is not None:
+                self._plot_level(labels_np, lvl)
+            if self.wlvl_hook is not None:
+                results.append(
+                    self.wlvl_hook(
+                        HookCtx(
+                            water_level=lvl,
+                            max_water_level=self.max_water_level,
+                            image=img_np,
+                            colours=labels_np,
+                            seeds=seed_colours,
+                        )
+                    )
+                )
+        return results
+
     def _host_stepped(self, input_img, seeds) -> list:
+        if self._fast_observer_ok():
+            return self._replayed_observers(input_img, seeds)
         img, labels = self._prepare(input_img, seeds)
         bucket = _label_bucket(len(seeds))
         seed_colours = tuple(

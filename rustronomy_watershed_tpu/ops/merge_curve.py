@@ -425,7 +425,7 @@ def _fetch_curve_planes(labels, lv8, lo, hi, act, n, starved):
     return labels_np, lv8_np, lo_np, hi_np, act_np
 
 
-def history_from_planes(
+def iter_history_from_planes(
     labels_np,
     lv8_np,
     max_water_level: int,
@@ -434,8 +434,8 @@ def history_from_planes(
     act=None,
     *,
     n_labels: int | None = None,
-) -> list:
-    """[(level, int32 label snapshot)] rebuilt from the compact planes.
+):
+    """Yield (level, int32 label snapshot) rebuilt from the compact planes.
 
     The per-level snapshot the sweep driver records is exactly
     ``where(claim <= lvl, rep_lvl[label], 0)``: segmenting labels never
@@ -447,18 +447,18 @@ def history_from_planes(
 
     This replaces a (levels, H, W) on-device snapshot stack whose download
     is ~levels x the plane size (1 GB at 1024²/255 levels on this tunnel);
-    the planes are ~4 MB and the rebuild is host-local numpy.
+    the planes are ~4 MB and the rebuild is host-local numpy.  A generator
+    so per-level observers (hooks, plots) hold ONE snapshot at a time;
+    transform_history materialises the list (the API's contract and the
+    reference's own xmax_water_level memory factor, src/lib.rs:1263-1268).
     """
     labels_np = np.asarray(labels_np).astype(np.int32, copy=False)
     lv8_np = np.asarray(lv8_np)
     levels = max_water_level + 1
-    out = []
     if lo is None:
         for lvl in range(levels):
-            out.append(
-                (lvl, np.where(lv8_np <= lvl, labels_np, np.int32(0)))
-            )
-        return out
+            yield lvl, np.where(lv8_np <= lvl, labels_np, np.int32(0))
+        return
     k1 = (int(n_labels) + 1) if n_labels is not None else int(labels_np.max()) + 1
     parent = np.arange(k1, dtype=np.int64)
     lo, hi, starts = _level_edge_buckets(
@@ -470,8 +470,19 @@ def history_from_planes(
         if el.size:
             parent = _union_level(parent, el, eh)
             rep_plane = parent[labels_np].astype(np.int32)
-        out.append((lvl, np.where(lv8_np <= lvl, rep_plane, np.int32(0))))
-    return out
+        yield lvl, np.where(lv8_np <= lvl, rep_plane, np.int32(0))
+
+
+def history_from_planes(
+    labels_np, lv8_np, max_water_level, lo=None, hi=None, act=None,
+    *, n_labels=None,
+) -> list:
+    """List form of iter_history_from_planes (see its docstring)."""
+    return list(
+        iter_history_from_planes(
+            labels_np, lv8_np, max_water_level, lo, hi, act, n_labels=n_labels
+        )
+    )
 
 
 def relax_history(
@@ -485,13 +496,18 @@ def relax_history(
     steps=None,
     interpret: bool = False,
     merging: bool = True,
+    as_iter: bool = False,
 ):
     """``transform_history`` data via ONE relax pass + host rebuild.
 
     Returns ([(level, snapshot)], starved) — bit-identical to
     run_levels(..., collect='history') but shipping ~4 MB of compact
     planes instead of the (levels, H, W) snapshot stack (and with no HBM
-    ceiling on the stack).  ``starved`` mirrors relax_merging_sizes."""
+    ceiling on the stack).  ``starved`` mirrors relax_merging_sizes.
+    ``as_iter=True`` returns a lazy generator instead of the list (one
+    snapshot live at a time — the per-level observer replay path);
+    saturation is still resolved eagerly (the flag needs only the device
+    scalars, which are fetched before the rebuild starts)."""
     img = jnp.asarray(img)
     labels0 = jnp.asarray(labels0, dtype=jnp.int32)
     _, labels, lv8, lo, hi, act, n, starved = _device_curves(
@@ -510,11 +526,12 @@ def relax_history(
     if fetched is None:
         return None, True
     labels_np, lv8_np, lo_np, hi_np, act_np = fetched
+    make = iter_history_from_planes if as_iter else history_from_planes
     if merging:
-        snaps = history_from_planes(
+        snaps = make(
             labels_np, lv8_np, max_water_level, lo_np, hi_np, act_np,
             n_labels=n_labels,
         )
     else:
-        snaps = history_from_planes(labels_np, lv8_np, max_water_level)
+        snaps = make(labels_np, lv8_np, max_water_level)
     return snaps, False

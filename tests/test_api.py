@@ -97,6 +97,68 @@ def test_hook_path_matches_fast_path(rng):
     np.testing.assert_array_equal(fast, hooked[-1])
 
 
+def test_hook_replay_matches_host_loop(rng):
+    """The fast-observer replay (compact-plane snapshots) must hand hooks
+    the exact per-level views the host-stepped loop does — both variants,
+    with and without edge correction.  Forcing backend='jnp' on the
+    reference side disqualifies the replay, so this really compares the
+    two paths."""
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 16, size=(30, 26)).astype(np.uint8)
+
+    def hook(ctx):
+        return (ctx.water_level, ctx.colours.copy(), ctx.image.copy(), ctx.seeds)
+
+    for build in ("build_segmenting", "build_merging"):
+        for edge in (False, True):
+            def mk(backend=None):
+                b = TransformBuilder.default().set_max_water_lvl(15)
+                if edge:
+                    b = b.enable_edge_correction()
+                if backend:
+                    b = b.set_backend(backend)
+                return getattr(b.set_wlvl_hook(hook), build)()
+
+            fast = mk()
+            assert fast._fast_observer_ok()
+            slow = mk("jnp")
+            assert not slow._fast_observer_ok()
+            seeds = fast.find_local_minima(img)
+            a = fast.transform_with_hook(img, seeds)
+            b = slow.transform_with_hook(img, seeds)
+            assert len(a) == len(b) == 16
+            for (la, ca, ia, sa), (lb, cb, ib, sb) in zip(a, b):
+                assert la == lb and sa == sb
+                np.testing.assert_array_equal(ca, cb, err_msg=f"{build} e={edge} l={la}")
+                np.testing.assert_array_equal(ia, ib)
+
+
+def test_plot_replay_matches_host_loop(rng, tmp_path):
+    """ws_lvl{N}.png files from the replay path must be byte-identical to
+    the host-stepped loop's."""
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    img = rng.integers(0, 8, size=(14, 11)).astype(np.uint8)
+    da, db = tmp_path / "a", tmp_path / "b"
+    da.mkdir(), db.mkdir()
+    fast = (
+        TransformBuilder.default().set_max_water_lvl(7)
+        .set_plot_folder(da).build_merging()
+    )
+    slow = (
+        TransformBuilder.default().set_max_water_lvl(7)
+        .set_plot_folder(db).set_backend("jnp").build_merging()
+    )
+    seeds = fast.find_local_minima(img)
+    fast.transform_with_hook(img, seeds)
+    slow.transform_with_hook(img, seeds)
+    for lvl in range(8):
+        pa, pb = da / f"ws_lvl{lvl}.png", db / f"ws_lvl{lvl}.png"
+        assert pa.exists() and pb.exists()
+        assert pa.read_bytes() == pb.read_bytes(), f"lvl {lvl}"
+
+
 def test_watershed_utils_mixin(rng):
     ws = TransformBuilder.default().build_segmenting()
     assert isinstance(ws, WatershedUtils)
