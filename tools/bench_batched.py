@@ -9,6 +9,14 @@ across every iteration and rep.  Run on the TPU:
 ``python tools/bench_batched.py [B [size]]``; ``BENCH_MERGING=1`` benches
 the MERGING variant (per-image separator rows segment the component-min
 scans, exactly like transform_batch's merging stacking).
+
+The merging bench passes ``batch=``/``batch_mins=`` exactly as the public
+``transform_batch`` does (models/base.py ~:436), so the per-image broadcast
+shortcut is on the measured path; ``BENCH_GENERAL=1`` measures the general
+scan-tail path instead (what non-full-interior inputs pay).  A one-shot
+label cross-check of the two programs runs after the timing
+(``BENCH_VERIFY=0`` skips) — the recorded number doubles as a hardware
+parity certificate when it prints OK.
 """
 
 import os
@@ -62,6 +70,28 @@ def main():
     n_seeds = int(labels0.max())
     bucket = _label_bucket(n_seeds)
 
+    # Mirror transform_batch's merging fast path: per-image broadcast
+    # shortcut via batch=/batch_mins= (sound here by construction — the
+    # per-image NEVER_FILL borders can never be strict local maxima, so no
+    # border seeds exist; assert it anyway).
+    hs = size + 1 if merging else size
+    batch_kw = {}
+    if merging and os.environ.get("BENCH_GENERAL", "0") != "1":
+        lab3 = labels0.reshape(b, hs, size)
+        border = np.zeros((hs, size), dtype=bool)
+        border[0, :] = border[size - 1, :] = True
+        border[:, 0] = border[:, -1] = True
+        border[size:, :] = True  # separator row(s)
+        assert not (lab3[:, border] > 0).any(), "border seed in bench field"
+        mins = np.where(
+            lab3.reshape(b, -1).max(axis=1) > 0,
+            np.where(lab3 > 0, lab3, np.iinfo(np.int32).max)
+            .reshape(b, -1)
+            .min(axis=1),
+            0,
+        ).astype(np.int32)
+        batch_kw = dict(batch=(b, hs, size), batch_mins=jnp.asarray(mins))
+
     img_d = jax.device_put(jnp.asarray(stacked))
     lab_d = jax.device_put(jnp.asarray(labels0))
     jax.block_until_ready((img_d, lab_d))
@@ -89,6 +119,7 @@ def main():
                 merging=merging,
                 collect="none",
                 backend="relax_pallas",
+                **batch_kw,
             )
             chk = checksum(out)
             return chk, acc.at[i].set(chk)
@@ -110,10 +141,33 @@ def main():
 
     dt = min(times) / inner
     variant = "merging" if merging else "segmenting"
+    if merging:
+        variant += " (broadcast path)" if batch_kw else " (general tail)"
     print(
         f"batched {b}x{size}^2 {variant}: {npx / dt / 1e6:.0f} Mpix/s "
         f"({dt * 1e3:.1f} ms per batch, inner={inner}, seeds={n_seeds})"
     )
+
+    if batch_kw and os.environ.get("BENCH_VERIFY", "1") == "1":
+        # One-shot parity certificate, AFTER the timing so a degraded
+        # remote-compile window can't eat the measurement: the
+        # broadcast-shortcut program must produce bit-identical labels to
+        # the general scan-tail program on this exact field, on hardware.
+        fast = jax.jit(
+            lambda im, la: run_levels_impl(
+                im, la, n_labels=bucket, max_water_level=254, merging=True,
+                collect="none", backend="relax_pallas", **batch_kw,
+            )
+        )(img_d, lab_d)
+        gen = jax.jit(
+            lambda im, la: run_levels_impl(
+                im, la, n_labels=bucket, max_water_level=254, merging=True,
+                collect="none", backend="relax_pallas",
+            )
+        )(img_d, lab_d)
+        if not bool(jnp.all(fast == gen)):
+            raise AssertionError("broadcast shortcut != general scan tail")
+        print("verify: shortcut == general tail OK", file=sys.stderr)
 
 
 if __name__ == "__main__":
