@@ -127,7 +127,10 @@ class TransformBuilder:
         — e.g. for sensitivity analysis of lake statistics under plateau
         partitioning.  Runs on the jnp level-sweep engine (the relaxation
         engines are inherently min-label), single-device, and is mutually
-        exclusive with ``set_sweep_impl``."""
+        exclusive with ``set_sweep_impl``.  ``transform_batch`` supports it
+        too: each image draws an independent uniform plane (the batch index
+        is folded into ``seed``), so per-image statistics match a looped
+        single-image run distributionally."""
         if mode not in ("min", "random"):
             raise ValueError(f"unknown tie-break mode {mode!r}")
         self.tie_break = mode

@@ -59,6 +59,38 @@ _extrema_mask_jit = cache_resilient(
 )
 
 
+def _batch_random_impl(imgs, labels0, us, *, n_labels, max_water_level, merging):
+    """Batched stochastic-tie-break transform: vmap of the jnp level sweep
+    with ONE independent uniform plane per image (reference randomness,
+    src/lib.rs:249-253, applied per transform).  ``us`` is (B, H, W) —
+    per-image planes derived by folding the batch index into the user's
+    seed (see transform_batch), so image i's draws are independent of
+    image j's and of the batch size."""
+    from ..ops.flood import flood_sweep_random
+    from ..ops.level_driver import run_levels_impl
+
+    def one(img, lab, u):
+        return run_levels_impl(
+            img,
+            lab,
+            n_labels=n_labels,
+            max_water_level=max_water_level,
+            merging=merging,
+            collect="none",
+            sweep_fn=lambda im, la, lv: flood_sweep_random(im, la, lv, u=u),
+            backend="jnp",
+        )
+
+    return jax.vmap(one)(imgs, labels0, us)
+
+
+_batch_random = cache_resilient(
+    partial(
+        jax.jit, static_argnames=("n_labels", "max_water_level", "merging")
+    )(_batch_random_impl)
+)
+
+
 def _label_bucket(n_seeds: int) -> int:
     """Static parent/histogram table size: next power of two >= n_seeds + 1.
 
@@ -70,7 +102,10 @@ def _label_bucket(n_seeds: int) -> int:
 
 
 def _expand_rows(
-    sizes: np.ndarray, counts_length: int, max_water_level: int
+    sizes: np.ndarray,
+    counts_length: int,
+    max_water_level: int,
+    copy: bool = False,
 ) -> list[tuple[int, np.ndarray]]:
     """[(level, counts-row)] with reference-length rows (src/lib.rs:630).
 
@@ -82,8 +117,10 @@ def _expand_rows(
     Small results (< ~64 MB) are returned as independent per-row copies;
     huge reference-length blocks stay views of one base array (copying
     would double the 2 GB) — a caller retaining a single huge row keeps
-    the base alive, which is the documented trade for the 2x-faster
-    default path."""
+    the base alive, and mutating one row through an overlapping view could
+    surprise.  That trade is documented at the public surface
+    (docs/API.md, transform_to_list) and ``copy=True`` opts out of it:
+    every row is then an independent allocation regardless of size."""
     levels = max_water_level + 1
     sizes = np.asarray(sizes)
     if sizes.shape == (levels, counts_length) and sizes.dtype == np.int64:
@@ -91,11 +128,13 @@ def _expand_rows(
         # writes rows at counts_length directly): every caller hands a
         # freshly-allocated table, so the rows can ship as views without
         # the 2x block copy (~0.15 s of the 1024² to_list wall).
+        if copy:
+            return [(lvl, sizes[lvl].copy()) for lvl in range(levels)]
         return list(enumerate(sizes))
     out = np.zeros((levels, counts_length), dtype=np.int64)
     k = min(sizes.shape[1], counts_length)
     out[:, :k] = sizes[:levels, :k]
-    if out.nbytes < 64 * 1024 * 1024:
+    if copy or out.nbytes < 64 * 1024 * 1024:
         return [(lvl, out[lvl].copy()) for lvl in range(levels)]
     return list(enumerate(out))
 
@@ -356,11 +395,6 @@ class _WatershedBase(WatershedUtils):
         imgs = np.asarray(input_imgs, dtype=np.uint8)
         if imgs.ndim != 3:
             raise ValueError("transform_batch expects (B, H, W)")
-        if self.tie_break == "random":
-            raise NotImplementedError(
-                "set_tie_break('random') is single-image (a batch would "
-                "share one random plane across images); loop transform()"
-            )
         if len(seeds_list) != imgs.shape[0]:
             raise ValueError("one seed list per image required")
         if self.edge_correction:
@@ -372,6 +406,31 @@ class _WatershedBase(WatershedUtils):
         )
         bucket = _label_bucket(max((len(s) for s in seeds_list), default=0))
         ret = jnp.asarray if device_output else np.asarray
+
+        if self.tie_break == "random":
+            # Stochastic tie-break per image: fold the batch index into the
+            # user's seed so every image gets an INDEPENDENT uniform plane
+            # (a shared plane would correlate plateau partitions across the
+            # batch), then vmap the jnp level sweep (the relax/Pallas
+            # engines are structurally min-label; builder validation
+            # already blocks mesh + random).  Reference randomness applies
+            # per transform: src/lib.rs:249-253.
+            b, hh, ww = imgs.shape
+            base_key = jax.random.PRNGKey(self.tie_break_seed)
+            us = jax.vmap(
+                lambda i: jax.random.uniform(
+                    jax.random.fold_in(base_key, i), (hh, ww), dtype=jnp.float32
+                )
+            )(jnp.arange(b))
+            out = _batch_random(
+                jnp.asarray(imgs, jnp.int32),
+                labels0,
+                us,
+                n_labels=bucket,
+                max_water_level=self.max_water_level,
+                merging=self._merging,
+            )
+            return ret(out)
 
         if self.mesh is not None and "batch" in self.mesh.axis_names:
             from ..parallel.tiled import tiled_transform
@@ -518,7 +577,11 @@ class _WatershedBase(WatershedUtils):
         return self._host_stepped(input_img, seeds)
 
     def transform_to_list(
-        self, input_img, seeds, counts_length: Optional[int] = None
+        self,
+        input_img,
+        seeds,
+        counts_length: Optional[int] = None,
+        copy: bool = False,
     ) -> list[tuple[int, np.ndarray]]:
         """Per-level lake-size histograms, fully on-device.
 
@@ -527,6 +590,13 @@ class _WatershedBase(WatershedUtils):
         ``counts_length=None`` replicates the reference's ``n_pixels + 1``
         vector length (src/lib.rs:630, SURVEY.md Q10); pass e.g.
         ``len(seeds) + 1`` for a compact result.
+
+        Memory note (reference-length results): rows of a > 64 MB result
+        share one (levels, counts_length) base array — retaining a single
+        row keeps the whole block alive, and writing through one row's
+        view writes the block.  Copy rows you intend to mutate or retain,
+        or pass ``copy=True`` to get independent per-row allocations
+        (doubles peak host memory on ~2 GB reference-length results).
         """
         if self.backend == "native" and not self._needs_host_loop():
             from ..parity import native
@@ -547,7 +617,7 @@ class _WatershedBase(WatershedUtils):
                         * (np.asarray(input_img).shape[1] + 2)
                     )
                 counts_length = n_px + 1
-            return _expand_rows(sizes, counts_length, self.max_water_level)
+            return _expand_rows(sizes, counts_length, self.max_water_level, copy)
         if self._needs_host_loop():
             # The reference implements transform_to_list as
             # clone_with_hook(find_lake_sizes) (src/lib.rs:1551-1561); the
@@ -668,7 +738,7 @@ class _WatershedBase(WatershedUtils):
                     backend=backend,
                 )
         sizes = np.asarray(sizes)
-        return _expand_rows(sizes, counts_length, self.max_water_level)
+        return _expand_rows(sizes, counts_length, self.max_water_level, copy)
 
     def transform_history(self, input_img, seeds) -> list[tuple[int, np.ndarray]]:
         """Per-level label snapshots (src/lib.rs:1233-1237); memory-heavy:

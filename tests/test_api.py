@@ -448,3 +448,33 @@ def test_transform_device_output(rng):
     devn = wsn.transform(img, seeds, device_output=True)
     assert isinstance(devn, jax.Array)
     np.testing.assert_array_equal(np.asarray(devn), host)
+
+
+def test_to_list_copy_kwarg_gives_independent_rows():
+    """``transform_to_list(copy=True)`` must return rows that do not alias
+    a shared base (the documented >64 MB view-aliasing trade, docs/API.md);
+    parity with the default path is bit-exact."""
+    import numpy as np
+
+    from rustronomy_watershed_tpu.models.base import _expand_rows
+    from rustronomy_watershed_tpu.prelude import TransformBuilder
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 40, size=(24, 24)).astype(np.uint8)
+    ws = TransformBuilder.default().build_merging()
+    seeds = ws.find_local_minima(img)
+    a = ws.transform_to_list(img, seeds)
+    b = ws.transform_to_list(img, seeds, copy=True)
+    assert len(a) == len(b)
+    for (la, ra), (lb, rb) in zip(a, b):
+        assert la == lb
+        np.testing.assert_array_equal(ra, rb)
+        assert rb.base is None  # independent allocation
+
+    # The >64 MB tier ships views by default and copies under copy=True
+    # (unit-level: the public path needs a ~2 GB result to reach it).
+    big = np.zeros((2, 9), dtype=np.int64)
+    view_rows = _expand_rows(big, 5_000_000, 1)
+    assert view_rows[0][1].base is not None
+    copy_rows = _expand_rows(big, 5_000_000, 1, copy=True)
+    assert copy_rows[0][1].base is None

@@ -738,3 +738,34 @@ def test_with_stats_rounds_and_parity(rng):
             img, lab0, mesh, n_labels=k, max_water_level=254,
             backend="relax", with_stats=True,
         )
+
+
+def test_tuned_halo_one_extra_round_invariant(rng):
+    """Regression pin of the r7 scaling-study invariant (BENCHMARKS.md r7,
+    tools/mesh_scaling.py): with the TUNED halo (halo=None), every mesh
+    shape converges in exactly ONE exchange round more than the 1x1 mesh —
+    a future halo/convergence-protocol change that silently adds rounds
+    fails here.  Labels stay bit-identical across shapes."""
+    img = rng.integers(0, 254, size=(128, 128)).astype(np.uint8)
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    lab0 = seed_labels_from_mask(local_extrema_mask(jnp.asarray(img)))
+    k = int(np.asarray(lab0).max())
+    devs = jax.devices()
+
+    def rounds_for(ny, nx):
+        mesh = Mesh(np.asarray(devs[: ny * nx]).reshape(ny, nx), ("y", "x"))
+        out, stats = tiled_transform(
+            img, lab0, mesh, n_labels=k, max_water_level=254,
+            backend="relax_pallas", halo=None, with_stats=True,
+        )
+        return np.asarray(out), int(np.asarray(stats)[0])
+
+    ref, r11 = rounds_for(1, 1)
+    for ny, nx in ((1, 2), (2, 2), (4, 2)):
+        out, r = rounds_for(ny, nx)
+        np.testing.assert_array_equal(out, ref)
+        assert r == r11 + 1, (ny, nx, r, r11)

@@ -123,3 +123,86 @@ def test_builder_validation():
     TransformBuilder.default().set_tie_break("min").set_backend(
         "relax_pallas"
     ).build_segmenting()
+
+
+# -- transform_batch under the stochastic rule (VERDICT r3 #4) ---------------
+
+
+def test_batch_random_tie_break_distribution_and_claimed_set():
+    """Batched stochastic tie-break: per-image independent uniform planes
+    (batch index folded into the seed).  Pins (a) every tie lands on one of
+    the two competing labels, (b) the choice is uniform (chi-square over the
+    whole batch), (c) images differ from each other (independent planes),
+    (d) the claimed set per image matches the min-label rule exactly."""
+    rows = 50
+    img, seeds = _tie_field(rows)
+    b = 8
+    imgs = np.stack([img] * b)
+    seeds_list = [seeds] * b
+    ws = (
+        TransformBuilder.default()
+        .set_max_water_lvl(1)
+        .set_tie_break("random", seed=7)
+        .build_segmenting()
+    )
+    out = np.asarray(ws.transform_batch(imgs, seeds_list))
+    assert out.shape == imgs.shape
+    n_first = 0
+    for k in range(b):
+        for i in range(rows):
+            y = 2 * i + 1
+            got = out[k, y, 3]
+            assert got in (2 * i + 1, 2 * i + 2), (k, i, got)
+            n_first += got == 2 * i + 1
+    n = b * rows
+    e = n / 2.0
+    chi2 = (n_first - e) ** 2 / e + ((n - n_first) - e) ** 2 / e
+    assert chi2 < 10.83, (n_first, chi2)  # 1 dof, p = 0.001
+    # Independent per-image planes: not every image partitions identically.
+    assert any(np.any(out[k] != out[0]) for k in range(1, b))
+    # Claimed set is tie-break independent.
+    ws_min = (
+        TransformBuilder.default().set_max_water_lvl(1).build_segmenting()
+    )
+    out_min = np.asarray(ws_min.transform_batch(imgs, seeds_list))
+    np.testing.assert_array_equal(out != 0, out_min != 0)
+
+
+def test_batch_random_reproducible_and_seed_sensitive():
+    img, seeds = _tie_field(64)
+    imgs = np.stack([img] * 3)
+    seeds_list = [seeds] * 3
+    mk = lambda s: (
+        TransformBuilder.default()
+        .set_max_water_lvl(1)
+        .set_tie_break("random", seed=s)
+        .build_segmenting()
+    )
+    a1 = np.asarray(mk(3).transform_batch(imgs, seeds_list))
+    a2 = np.asarray(mk(3).transform_batch(imgs, seeds_list))
+    b = np.asarray(mk(4).transform_batch(imgs, seeds_list))
+    np.testing.assert_array_equal(a1, a2)
+    assert np.any(a1 != b)
+
+
+def test_batch_random_merging_invariant_and_edge_correction(rng=None):
+    """The merging variant's final labels are tie-break independent (label
+    adjacency per level does not depend on which lake claimed a boundary
+    pixel) — batched, and composed with edge correction."""
+    gen = np.random.default_rng(5)
+    imgs = gen.integers(0, 25, size=(3, 24, 24)).astype(np.uint8)
+    util = TransformBuilder.default().build_segmenting()
+    seeds_list = [util.find_local_minima(im) for im in imgs]
+    for edge in (False, True):
+
+        def mk(tb, edge=edge):
+            bld = TransformBuilder.default().set_tie_break(*tb)
+            if edge:
+                bld = bld.enable_edge_correction()
+            return bld.build_merging()
+
+        out_rnd = np.asarray(
+            mk(("random", 1)).transform_batch(imgs, seeds_list)
+        )
+        out_min = np.asarray(mk(("min",)).transform_batch(imgs, seeds_list))
+        np.testing.assert_array_equal(out_rnd, out_min)

@@ -73,15 +73,18 @@ def main():
     # Mirror transform_batch's merging fast path: per-image broadcast
     # shortcut via batch=/batch_mins= (sound here by construction — the
     # per-image NEVER_FILL borders can never be strict local maxima, so no
-    # border seeds exist; assert it anyway).
-    hs = size + 1 if merging else size
+    # border seeds exist; assert it anyway).  h_img is the per-image height
+    # per level_driver's (b, hs, h_img) contract (= size only because this
+    # bench generates square images).
+    h_img = size
+    hs = h_img + 1 if merging else h_img
     batch_kw = {}
     if merging and os.environ.get("BENCH_GENERAL", "0") != "1":
         lab3 = labels0.reshape(b, hs, size)
         border = np.zeros((hs, size), dtype=bool)
-        border[0, :] = border[size - 1, :] = True
+        border[0, :] = border[h_img - 1, :] = True
         border[:, 0] = border[:, -1] = True
-        border[size:, :] = True  # separator row(s)
+        border[h_img:, :] = True  # separator row(s)
         assert not (lab3[:, border] > 0).any(), "border seed in bench field"
         mins = np.where(
             lab3.reshape(b, -1).max(axis=1) > 0,
@@ -90,7 +93,24 @@ def main():
             .min(axis=1),
             0,
         ).astype(np.int32)
-        batch_kw = dict(batch=(b, hs, size), batch_mins=jnp.asarray(mins))
+        # The broadcast shortcut is a runtime lax.cond gate
+        # (ops/level_driver.py `fast`): assert on the host that it MUST
+        # fire for this field, or the '(broadcast path)' label below would
+        # silently mislabel a general-tail timing.  Sufficient conditions,
+        # checked on the input: (a) every per-image interior value is
+        # claimable (< NEVER_FILL) — the interior is one 4-connected
+        # rectangle, so at full depth every interior cell of a seeded image
+        # gets claimed; (b) every image has a seed (mins > 0); (c) no
+        # border seeds (asserted above) — borders stay unclaimed.  Together
+        # these pin n_uncl == structural count and any_cl_border == False.
+        imgs3 = imgs.reshape(b, hs, size)
+        assert (imgs3[:, 1 : h_img - 1, 1:-1] < NEVER_FILL).all(), (
+            "unclaimable interior pixel: broadcast gate would not fire"
+        )
+        assert (mins > 0).all(), (
+            "seedless image: broadcast gate would not fire"
+        )
+        batch_kw = dict(batch=(b, hs, h_img), batch_mins=jnp.asarray(mins))
 
     img_d = jax.device_put(jnp.asarray(stacked))
     lab_d = jax.device_put(jnp.asarray(labels0))
