@@ -66,6 +66,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._compat import register_vmem_recovery
 from ..constants import NEVER_FILL, UNCOLOURED
 from .scan_merge import _INF as _SCAN_INF, _seg_min_scan
 
@@ -82,6 +83,57 @@ DEFAULT_STEPS = 16
 # toolchain drift inflated the same win=216 config to 123.06 MiB (see
 # _WIN_ELEM_BYTES_X10) — compile+RUN verified on hardware at 125.
 VMEM_LIMIT_BYTES = 125 * 1024 * 1024
+
+# Runtime drift resilience (VERDICT r3 #3): scoped-VMEM footprints of an
+# UNCHANGED kernel drift with the platform toolchain (r7: +0.73 MiB on the
+# identical win=216 config between sessions).  When a public entry's compile
+# dies with a Mosaic scoped-allocation OOM, _compat.cache_resilient calls
+# the step-down hook below: it widens a session-wide DERATE subtracted from
+# every tile-resolution budget (auto_tile / _stripe_auto_tile /
+# resolve_relax_config / resolve_stripe_config), clears the jit caches, and
+# the retry re-resolves a smaller tile down the same auto_tile schedule —
+# graceful degradation instead of a hard failure on VMEM-marginal configs.
+# The Mosaic compiler cap itself (CompilerParams vmem_limit_bytes) stays at
+# VMEM_LIMIT_BYTES: the chip's scoped ceiling did not move, the footprint
+# model under-estimated.
+_VMEM_DERATE_STEP = 2 * 1024 * 1024
+_VMEM_DERATE_MAX = 16 * 1024 * 1024
+_vmem_derate = 0
+
+
+def vmem_budget() -> int:
+    """The tile-resolution VMEM budget: the hardware-bracketed ceiling minus
+    the session's drift derate (see _VMEM_DERATE_STEP)."""
+    return VMEM_LIMIT_BYTES - _vmem_derate
+
+
+def _vmem_drift_stepdown() -> bool:
+    """Recovery hook for _compat.cache_resilient: bump the derate one step
+    (False once exhausted — the caller re-raises the compile error)."""
+    global _vmem_derate
+    if _vmem_derate + _VMEM_DERATE_STEP > _VMEM_DERATE_MAX:
+        return False
+    _vmem_derate += _VMEM_DERATE_STEP
+    import warnings
+
+    warnings.warn(
+        "Mosaic scoped-VMEM compile OOM: platform footprint drift detected "
+        f"(see ops/pallas_relax.py); derating the tile-resolution budget to "
+        f"{vmem_budget() // (1 << 20)} MiB for this session and retrying "
+        "with a smaller band tile",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return True
+
+
+def _reset_vmem_derate() -> None:
+    """Testing hook: clear the session derate."""
+    global _vmem_derate
+    _vmem_derate = 0
+
+
+register_vmem_recovery(_vmem_drift_stepdown)
 
 # Measured footprint per window element ×10, from Mosaic's scoped-allocation
 # error sizes (r6, v5e): 117.82 MiB at win=208×8320 and 122.33 MiB at
@@ -141,7 +193,7 @@ def auto_tile(
     per10 = wp * _WIN_ELEM_BYTES_X10
     extra10 = 40 * wp if fused_scan else 0
     tile = (
-        ((VMEM_LIMIT_BYTES - _AUTO_TILE_SLACK) * 10 - 2 * steps * per10)
+        ((vmem_budget() - _AUTO_TILE_SLACK) * 10 - 2 * steps * per10)
         // (per10 + extra10)
         // 8
         * 8
@@ -215,10 +267,20 @@ def _relax_kernel(
     pipelined,
     ctr_cols=None,
     fused_scan=None,
+    scan_stats_only=False,
 ):
     if fused_scan is None:
         v2, key2, lab2, sems = rest
         y_out = yst = ycarry = mstats_ref = None
+    elif scan_stats_only:
+        # Stats-only epilogue (VERDICT r3 #1): the single-component shortcut
+        # scalars WITHOUT the fwd-scan y plane — no staging scratch, no
+        # carry, no y DMA.  Footprint == the segmenting kernel's, so the
+        # merging path keeps the segmenting tile table (8192²: 152 vs the
+        # fused 144); the scan tail recomputes pass 1 itself when the
+        # shortcut does not fire (component_min_from_padded y0=None).
+        mstats_ref, v2, key2, lab2, sems = rest
+        y_out = yst = ycarry = None
     else:
         y_out, mstats_ref, v2, key2, lab2, yst, ycarry, sems = rest
     t, p = tile, steps
@@ -483,24 +545,27 @@ def _relax_kernel(
             rr = jax.lax.broadcasted_iota(jnp.int32, (t, wps), 0)
             ccs = jax.lax.broadcasted_iota(jnp.int32, (t, wps), 1)
             inf = jnp.int32(_SCAN_INF)
-            reset = x == 0
-            sv, sb = _seg_min_scan(
-                jnp.where(reset, inf, x), reset.astype(jnp.int32), 0, t, False, rr
-            )
-            carry_in = jnp.where(
-                i == 0, jnp.full((1, wps), inf, jnp.int32), ycarry[...]
-            )
-            sfinal = jnp.where(sb != 0, sv, jnp.minimum(sv, carry_in))
-            ycarry[...] = jnp.min(
-                jnp.where(rr == t - 1, sfinal, inf), axis=0, keepdims=True
-            )
-            y = jnp.where(reset, 0, sfinal)
-            y = jnp.where((ccs == col_lo) | (ccs == col_hi), x, y)
-            yst[...] = y
-            co = pltpu.make_async_copy(
-                yst, y_out.at[pl.ds(i * t, t), :], sems.at[slot, 7]
-            )
-            co.start()
+            co = None
+            if not scan_stats_only:
+                reset = x == 0
+                sv, sb = _seg_min_scan(
+                    jnp.where(reset, inf, x), reset.astype(jnp.int32), 0, t,
+                    False, rr
+                )
+                carry_in = jnp.where(
+                    i == 0, jnp.full((1, wps), inf, jnp.int32), ycarry[...]
+                )
+                sfinal = jnp.where(sb != 0, sv, jnp.minimum(sv, carry_in))
+                ycarry[...] = jnp.min(
+                    jnp.where(rr == t - 1, sfinal, inf), axis=0, keepdims=True
+                )
+                y = jnp.where(reset, 0, sfinal)
+                y = jnp.where((ccs == col_lo) | (ccs == col_hi), x, y)
+                yst[...] = y
+                co = pltpu.make_async_copy(
+                    yst, y_out.at[pl.ds(i * t, t), :], sems.at[slot, 7]
+                )
+                co.start()
             # Single-component shortcut statistics (ops.level_driver): when
             # the fixed point has NO unclaimed interior pixel and NO claimed
             # border pixel, the claimed set is the full interior rectangle —
@@ -537,7 +602,8 @@ def _relax_kernel(
             )
             mstats_ref[i, 1] = jnp.max((border & claimed).astype(jnp.int32))
             mstats_ref[i, 2] = jnp.min(jnp.where(interior & claimed, x, inf))
-            co.wait()
+            if co is not None:
+                co.wait()
 
     if pipelined:
         # Dense mode: UNCONDITIONAL cross-band DMA pipelining (band i+1's
@@ -601,6 +667,7 @@ def relax_block(
     pipelined=True,
     ctr_cols=None,
     fused_scan=None,
+    scan_stats_only=False,
 ):
     """P fused relaxation sweeps over the active bands (in-place aliased).
 
@@ -621,6 +688,11 @@ def relax_block(
     call certified convergence (not_converged == False).  Requires
     pipelined=True and an all-active band set: the scan's cross-band carry
     needs every band to compute, in grid order.
+
+    ``scan_stats_only=True`` (with fused_scan) emits ONLY the mstats output
+    — no y plane, no staging scratch, segmenting-kernel footprint — for the
+    production merging path whose scan tail recomputes pass 1 itself when
+    the single-component shortcut does not fire (VERDICT r3 #1).
     """
     if tile < steps:
         raise ValueError(
@@ -657,17 +729,25 @@ def relax_block(
         pltpu.VMEM((2, win, wp), jnp.int32),
     ]
     if fused_scan is not None:
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(jax.ShapeDtypeStruct((gy * tile, wp), jnp.int32))
+        if not scan_stats_only:
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            out_shape.append(
+                jax.ShapeDtypeStruct((gy * tile, wp), jnp.int32)
+            )
         out_specs.append(
             pl.BlockSpec((gy, 3), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((gy, 3), jnp.int32))
-        scratch += [
-            pltpu.VMEM((tile, wp), jnp.int32),
-            pltpu.VMEM((1, wp), jnp.int32),
-        ]
-    scratch.append(pltpu.SemaphoreType.DMA((2, 8 if fused_scan else 7)))
+        if not scan_stats_only:
+            scratch += [
+                pltpu.VMEM((tile, wp), jnp.int32),
+                pltpu.VMEM((1, wp), jnp.int32),
+            ]
+    scratch.append(
+        pltpu.SemaphoreType.DMA(
+            (2, 8 if (fused_scan and not scan_stats_only) else 7)
+        )
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -690,6 +770,7 @@ def relax_block(
             pipelined=pipelined,
             ctr_cols=ctr_cols,
             fused_scan=fused_scan,
+            scan_stats_only=scan_stats_only,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -699,7 +780,11 @@ def relax_block(
     )(active, v_pad, key_pad, lab_pad)
     key2, lab2, flags, chg, sat = outs[:5]
     base = (key2, lab2, flags[:, 0], chg[0, 0] > 0, sat[:, 0])
-    return base + (outs[5], outs[6]) if fused_scan is not None else base
+    if fused_scan is None:
+        return base
+    if scan_stats_only:
+        return base + (outs[5],)  # (..., mstats)
+    return base + (outs[5], outs[6])  # (..., y, mstats)
 
 
 _STRIPE_HALO = 128  # lane-dim halo per stripe side (DMA lane granularity)
@@ -736,7 +821,7 @@ def _stripe_auto_tile(cw: int, steps: int, fused_scan: bool = False) -> int:
     per10 = cwin * _WIN_ELEM_BYTES_X10
     extra10 = 40 * cwin if fused_scan else 0
     tile = (
-        ((VMEM_LIMIT_BYTES - _AUTO_TILE_SLACK) * 10 - 2 * steps * per10)
+        ((vmem_budget() - _AUTO_TILE_SLACK) * 10 - 2 * steps * per10)
         // (per10 + extra10)
         // 8
         * 8
@@ -770,6 +855,9 @@ def resolve_stripe_config(
 
     from .tune import STRIPE_TABLE, relax_steps
 
+    # 'stats' (stats-only fused epilogue) has the segmenting footprint:
+    # only the full fused scan (True) stages a y plane in VMEM.
+    fwd_scan = fwd_scan is True
     steps_in = steps
     if steps is None:
         steps = relax_steps(w)
@@ -813,7 +901,7 @@ def resolve_stripe_config(
         t = tile if tile is not None else clamp_tile(
             _stripe_auto_tile(cw, steps, fwd_scan)
         )
-        if t < 8 or vmem_model_bytes2d(cw, steps, t, fwd_scan) > VMEM_LIMIT_BYTES:
+        if t < 8 or vmem_model_bytes2d(cw, steps, t, fwd_scan) > vmem_budget():
             continue
         r2 = (t + 2 * steps) / t * nx * (cw + 2 * _STRIPE_HALO) / w
         if best is None or r2 < best[0]:
@@ -839,6 +927,7 @@ def _relax_kernel2d(
     steps,
     cw,
     fused_scan=None,
+    scan_stats_only=False,
 ):
     """Column-blocked (2-D grid) relaxation kernel — donated PING-PONG planes.
 
@@ -873,6 +962,10 @@ def _relax_kernel2d(
     if fused_scan is None:
         v2, key2, lab2, sems = rest
         y_out = yst = ycarry = mstats_ref = None
+    elif scan_stats_only:
+        # Stats-only epilogue — see _relax_kernel (same trade, per stripe).
+        mstats_ref, v2, key2, lab2, sems = rest
+        y_out = yst = ycarry = None
     else:
         y_out, mstats_ref, v2, key2, lab2, yst, ycarry, sems = rest
     t, p = tile, steps
@@ -1041,20 +1134,22 @@ def _relax_kernel2d(
         rr = jax.lax.broadcasted_iota(jnp.int32, (t, cwin), 0)
         ccs = lane_w + col0
         inf = jnp.int32(_SCAN_INF)
-        reset = x == 0
-        sv, sb = _seg_min_scan(
-            jnp.where(reset, inf, x), reset.astype(jnp.int32), 0, t, False, rr
-        )
-        carry_in = jnp.where(
-            i == 0, jnp.full((1, cwin), inf, jnp.int32), ycarry[...]
-        )
-        sfinal = jnp.where(sb != 0, sv, jnp.minimum(sv, carry_in))
-        ycarry[...] = jnp.min(
-            jnp.where(rr == t - 1, sfinal, inf), axis=0, keepdims=True
-        )
-        y = jnp.where(reset, 0, sfinal)
-        y = jnp.where((ccs == col_lo) | (ccs == col_hi), x, y)
-        yst[...] = y
+        if not scan_stats_only:
+            reset = x == 0
+            sv, sb = _seg_min_scan(
+                jnp.where(reset, inf, x), reset.astype(jnp.int32), 0, t,
+                False, rr
+            )
+            carry_in = jnp.where(
+                i == 0, jnp.full((1, cwin), inf, jnp.int32), ycarry[...]
+            )
+            sfinal = jnp.where(sb != 0, sv, jnp.minimum(sv, carry_in))
+            ycarry[...] = jnp.min(
+                jnp.where(rr == t - 1, sfinal, inf), axis=0, keepdims=True
+            )
+            y = jnp.where(reset, 0, sfinal)
+            y = jnp.where((ccs == col_lo) | (ccs == col_hi), x, y)
+            yst[...] = y
 
         # Single-component shortcut statistics (see _relax_kernel's fused
         # epilogue).  The interior-unclaimed flag additionally masks to the
@@ -1084,26 +1179,29 @@ def _relax_kernel2d(
         mstats_ref[gidx, 1] = jnp.max((border & claimed).astype(jnp.int32))
         mstats_ref[gidx, 2] = jnp.min(jnp.where(interior & claimed, x, inf))
 
-        def emit_y(cw0, cws):
-            co = pltpu.make_async_copy(
-                yst.at[pl.ds(0, t), pl.ds(cw0, cws)],
-                y_out.at[pl.ds(i * t, t), pl.ds(col0 + cw0, cws)],
-                sems.at[slot, 5],
-            )
-            co.start()
-            co.wait()
+        if not scan_stats_only:
 
-        emit_y(hs, cw)  # centre lanes — every program
+            def emit_y(cw0, cws):
+                co = pltpu.make_async_copy(
+                    yst.at[pl.ds(0, t), pl.ds(cw0, cws)],
+                    y_out.at[pl.ds(i * t, t), pl.ds(col0 + cw0, cws)],
+                    sems.at[slot, 5],
+                )
+                co.start()
+                co.wait()
 
-        # Pad lanes of the y plane (zeros via the centre mask): written by
-        # the edge stripes so the plane is complete for the scan tail.
-        @pl.when(cb == 0)
-        def _():
-            emit_y(0, hs)
+            emit_y(hs, cw)  # centre lanes — every program
 
-        @pl.when(cb == nx - 1)
-        def _():
-            emit_y(hs + cw, hs)
+            # Pad lanes of the y plane (zeros via the centre mask): written
+            # by the edge stripes so the plane is complete for the scan
+            # tail.
+            @pl.when(cb == 0)
+            def _():
+                emit_y(0, hs)
+
+            @pl.when(cb == nx - 1)
+            def _():
+                emit_y(hs + cw, hs)
 
 
 def relax_block2d(
@@ -1119,6 +1217,7 @@ def relax_block2d(
     steps,
     interpret=False,
     fused_scan=None,
+    scan_stats_only=False,
 ):
     """One column-blocked Jacobi relaxation call (P fused sweeps).
 
@@ -1170,17 +1269,25 @@ def relax_block2d(
         pltpu.VMEM((2, win, cwin), jnp.int32),
     ]
     if fused_scan is not None:
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(jax.ShapeDtypeStruct((gy * tile, wp), jnp.int32))
+        if not scan_stats_only:
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            out_shape.append(
+                jax.ShapeDtypeStruct((gy * tile, wp), jnp.int32)
+            )
         out_specs.append(
             pl.BlockSpec((nprog, 3), lambda *_: (0, 0), memory_space=pltpu.SMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((nprog, 3), jnp.int32))
-        scratch += [
-            pltpu.VMEM((tile, cwin), jnp.int32),
-            pltpu.VMEM((1, cwin), jnp.int32),
-        ]
-    scratch.append(pltpu.SemaphoreType.DMA((2, 6 if fused_scan else 5)))
+        if not scan_stats_only:
+            scratch += [
+                pltpu.VMEM((tile, cwin), jnp.int32),
+                pltpu.VMEM((1, cwin), jnp.int32),
+            ]
+    scratch.append(
+        pltpu.SemaphoreType.DMA(
+            (2, 6 if (fused_scan and not scan_stats_only) else 5)
+        )
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -1196,6 +1303,7 @@ def relax_block2d(
             steps=steps,
             cw=cw,
             fused_scan=fused_scan,
+            scan_stats_only=scan_stats_only,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -1205,12 +1313,16 @@ def relax_block2d(
     )(v_pad, key_in, lab_in, key_dst, lab_dst)
     key2, lab2, flags, chg, sat = outs[:5]
     base = (key2, lab2, flags[:, 0], chg[0, 0] > 0, sat[:, 0])
-    return base + (outs[5], outs[6]) if fused_scan is not None else base
+    if fused_scan is None:
+        return base
+    if scan_stats_only:
+        return base + (outs[5],)  # (..., mstats)
+    return base + (outs[5], outs[6])  # (..., y, mstats)
 
 
 def relax_fixed_point2d(
     v_pad, key_pad, lab_pad, *, nx, cw, tile, steps, interpret=False,
-    fused_scan=None,
+    fused_scan=None, stats_only=False,
 ):
     """Iterate relax_block2d to the global fixed point (ping-pong planes).
 
@@ -1230,8 +1342,16 @@ def relax_fixed_point2d(
     first = relax_block2d(
         v_pad, key_pad, lab_pad, alt_key, alt_lab, nx=nx, cw=cw, tile=tile,
         steps=steps, interpret=interpret, fused_scan=fused_scan,
+        scan_stats_only=stats_only,
     )
-    if fused_scan is not None:
+    if fused_scan is not None and stats_only:
+        key, lab, _, not_conv, sat, ms = first
+        y0 = None  # stats-only epilogue: the scan tail recomputes pass 1
+        y0_valid = jnp.logical_not(not_conv)
+        mstats = (
+            jnp.sum(ms[:, 0]), jnp.max(ms[:, 1]) > 0, jnp.min(ms[:, 2])
+        )
+    elif fused_scan is not None:
         key, lab, _, not_conv, sat, y0, ms = first
         y0_valid = jnp.logical_not(not_conv)
         mstats = (
@@ -1320,6 +1440,7 @@ def relax_fixed_point_fused(
     tile=DEFAULT_TILE,
     steps=DEFAULT_STEPS,
     interpret=False,
+    stats_only=False,
 ):
     """relax_fixed_point that ALSO returns the merging component-min fwd pass.
 
@@ -1341,7 +1462,7 @@ def relax_fixed_point_fused(
     p = steps
     gy = (hp - 2 * p) // tile
 
-    key, lab, flags, not_conv, sat, y0, ms = relax_block(
+    first = relax_block(
         v_pad,
         key_pad,
         lab_pad,
@@ -1351,7 +1472,13 @@ def relax_fixed_point_fused(
         interpret=interpret,
         pipelined=True,
         fused_scan=(col_lo, col_hi, real_h),
+        scan_stats_only=stats_only,
     )
+    if stats_only:
+        key, lab, flags, not_conv, sat, ms = first
+        y0 = None  # stats-only epilogue: the scan tail recomputes pass 1
+    else:
+        key, lab, flags, not_conv, sat, y0, ms = first
     y0_valid = jnp.logical_not(not_conv)
     mstats = (jnp.sum(ms[:, 0]), jnp.max(ms[:, 1]) > 0, jnp.min(ms[:, 2]))
 
@@ -1408,6 +1535,10 @@ def resolve_relax_config(
 
     from .tune import relax_steps, relax_tile
 
+    # 'stats' (stats-only fused epilogue) has the segmenting footprint —
+    # no fused tile cap applies (VERDICT r3 #1: this is what returns the
+    # 8192 table tile 152 to the merging path).
+    fwd_scan = fwd_scan is True
     steps_explicit = steps is not None
     if steps is None:
         steps = relax_steps(w)
@@ -1427,10 +1558,10 @@ def resolve_relax_config(
             while (
                 tile > steps
                 and vmem_model_bytes(w, steps, tile, fwd_scan)
-                > VMEM_LIMIT_BYTES
+                > vmem_budget()
             ):
                 tile -= 8
-            if vmem_model_bytes(w, steps, tile, fwd_scan) > VMEM_LIMIT_BYTES:
+            if vmem_model_bytes(w, steps, tile, fwd_scan) > vmem_budget():
                 # Even the minimum window (tile == steps) exceeds the VMEM
                 # model: the image is too wide for a full-width band at this
                 # schedule.  Fail here with a geometry hint instead of an
@@ -1440,7 +1571,7 @@ def resolve_relax_config(
                     f"VMEM even at the minimum window (tile == steps == "
                     f"{steps}: "
                     f"{vmem_model_bytes(w, steps, tile, fwd_scan)} B > "
-                    f"{VMEM_LIMIT_BYTES} B). Split the image into column "
+                    f"{vmem_budget()} B). Split the image into column "
                     "tiles (parallel.tiled_transform with an x-axis mesh) "
                     "or reduce steps."
                 )
@@ -1463,7 +1594,10 @@ def relax_packed_planes(
     ``fwd_scan=True`` (merging path) inserts (y0, y0_valid, mstats) before
     starved: the component-min forward-vertical pass fused into the
     converging relax call plus the single-component shortcut scalars
-    (see relax_fixed_point_fused).
+    (see relax_fixed_point_fused).  ``fwd_scan='stats'`` emits the mstats
+    scalars ONLY (y0 is None): segmenting-kernel footprint — the
+    production merging path, whose scan tail recomputes pass 1 when the
+    single-component shortcut does not fire (VERDICT r3 #1).
 
     Wide images run the column-blocked kernel (resolve_stripe_config —
     col_off = _STRIPE_HALO there, else col_off = steps); ``stripes=(nx,
@@ -1481,7 +1615,11 @@ def relax_packed_planes(
                 steps = max(steps, 32)
         if tile is None:
             tile = max(
-                8, min(_stripe_auto_tile(cw, steps, fwd_scan), -(-h // 8) * 8)
+                8,
+                min(
+                    _stripe_auto_tile(cw, steps, fwd_scan is True),
+                    -(-h // 8) * 8,
+                ),
             )
         cfg = (steps, tile, nx, cw)
     else:
@@ -1513,6 +1651,7 @@ def relax_packed_planes(
                 v_pad, key_pad, lab_pad, nx=nx, cw=cw, tile=tile,
                 steps=steps, interpret=interpret,
                 fused_scan=(hs, hs + w - 1, h),
+                stats_only=(fwd_scan == "stats"),
             )
             return key, lab, steps, hs, tile, y0, y0_valid, mstats, starved
         key, lab, starved = relax_fixed_point2d(
@@ -1541,6 +1680,7 @@ def relax_packed_planes(
             tile=tile,
             steps=steps,
             interpret=interpret,
+            stats_only=(fwd_scan == "stats"),
         )
         return key, lab, steps, steps, tile, y0, y0_valid, mstats, starved
     key, lab, starved = relax_fixed_point(

@@ -363,6 +363,10 @@ def test_resolution_contracts(monkeypatch):
     # after the VMEM ceiling raise to 125 MiB (ops/tune.py table note).
     assert resolve_relax_config(8192, 8192) == (32, 152)
     assert resolve_relax_config(8192, 8192, fwd_scan=True) == (32, 144)
+    # The stats-only epilogue (fwd_scan='stats', the production merging
+    # path since r4/VERDICT #1) has the segmenting footprint: no fused cap
+    # — the 8192 table tile returns to 152.
+    assert resolve_relax_config(8192, 8192, fwd_scan="stats") == (32, 152)
 
 
 def test_tall_table_tile_clamped_by_image_height():

@@ -10,9 +10,12 @@ computes.  This script is the hardware counterpart of tests/: it compares
   2. the fused pack kernel (mask + numbering + packed planes) vs host NumPy,
   3. relax_pallas end-to-end labels vs the C++ oracle (parity/oracle.cc —
      exact reference semantics, no JAX/XLA involved) at full 254 levels,
-     both variants (segmenting + merging), plus the striped (column-
-     blocked) engine on a forced 2-stripe grid — both variants again
-     (merging exercises the single-component broadcast shortcut on-chip),
+     both variants (segmenting + merging), plus a NaN-masked merging field
+     (the GENERAL component-min scan tail — dense fields take the
+     single-component broadcast shortcut instead, so without this row the
+     branch real astronomy data runs would go uncertified), plus the
+     striped (column-blocked) engine on a forced 2-stripe grid — both
+     variants again (merging exercises the broadcast shortcut on-chip),
   4. relax_pallas lake-size curves vs the C++ oracle's, and the public
      transform_to_list of BOTH variants (merging = compact planes + edge
      Kruskal; segmenting = compact planes + cumulative counts),
@@ -179,6 +182,33 @@ def main():
             (got == want).all(),
             f"{(got != want).sum()} diffs, oracle {t_or:.1f}s",
         )
+
+    # General (NaN-masked) merging tail at scale: the dense checks above
+    # satisfy the single-component broadcast shortcut; real astronomy
+    # fields are NaN-heavy (reference integration.rs:343-428) and their
+    # NEVER_FILL lacing leaves unclaimed interior pixels, so the merging
+    # lax.cond takes the component-min SCAN branch — this check certifies
+    # that branch on hardware at scale (same compiled program as check 4:
+    # the branch select is runtime data).
+    gimg_np = img_np.copy()
+    gimg_np[rng.random((osz, osz)) < 0.10] = 255
+    gseeds = native_find_local_minima(gimg_np)
+    want_g = native_transform(gimg_np, gseeds, 254, merging=True)
+    got_g = np.asarray(
+        jax.jit(
+            partial(
+                watershed_e2e_impl,
+                max_water_level=254,
+                merging=True,
+                backend="relax_pallas",
+            )
+        )(jnp.asarray(gimg_np))
+    )
+    ok &= check(
+        f"NaN-masked merging (general scan tail) vs C++ oracle @ {osz}²",
+        (got_g == want_g).all(),
+        f"{(got_g != want_g).sum()} diffs",
+    )
 
     # Striped (column-blocked) engine on REAL hardware vs the same oracle
     # outputs.  The resolver only engages stripes at >= ~6k lanes by itself;

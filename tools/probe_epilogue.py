@@ -52,7 +52,7 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    for fwd in (True, False):
+    for fwd in (True, "stats", False):
         chk = int(run_many(img, fwd, inner))  # compile + warm
         times = []
         for _ in range(3):
