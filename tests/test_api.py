@@ -256,12 +256,30 @@ def test_checkpoint_resume(tmp_path, rng):
 
 
 def test_tracing_context(tmp_path, rng):
-    from rustronomy_watershed_tpu.utils.tracing import trace
+    """On a supporting platform (CPU is one) a trace must leave real XPlane
+    artifacts; on one that can't, the context must WARN, not silently yield
+    an empty dir (VERDICT r3 #6)."""
+    import warnings as _warnings
+
+    from rustronomy_watershed_tpu.utils.tracing import trace, trace_artifacts
 
     img = rng.integers(0, 5, size=(8, 8)).astype(np.uint8)
     ws = TransformBuilder.default().set_max_water_lvl(3).build_segmenting()
-    with trace(tmp_path):
-        ws.transform(img, ws.find_local_minima(img))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        with trace(tmp_path):
+            ws.transform(img, ws.find_local_minima(img))
+    arts = trace_artifacts(tmp_path)
+    if arts:
+        assert all(a.stat().st_size > 0 for a in arts)
+        assert not any(
+            issubclass(x.category, RuntimeWarning) and "trace" in str(x.message).lower()
+            for x in w
+        )
+    else:
+        assert any(issubclass(x.category, RuntimeWarning) for x in w), (
+            "no artifact and no warning: silent trace loss"
+        )
 
 
 def test_debug_perf_report_all_fields(rng, capsys):

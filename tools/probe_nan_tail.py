@@ -1,0 +1,110 @@
+"""Phase attribution for the merging general tail on NaN-masked fields.
+
+The r4 NaN bench (BENCH_NANFRAC=0.1, 4096²) measured 187 Mpix/s vs 1878
+dense — a 10x collapse.  This probe splits the e2e merging time into
+(a) the relax fixed point alone (fwd_scan='stats', no tail),
+(b) relax + component_min_from_padded (the production general tail),
+and counts the tail's violation-loop rounds, at a configurable NaN
+fraction.  Run on the TPU: python tools/probe_nan_tail.py [size [frac]].
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rustronomy_watershed_tpu.ops.level_driver import run_levels_impl
+    from rustronomy_watershed_tpu.ops.pallas_relax import relax_packed_planes
+
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.1
+    inner = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 254, size=(size, size)).astype(np.uint8)
+    if frac > 0:
+        img[rng.random((size, size)) < frac] = 255
+    img_d = jax.device_put(jnp.asarray(img))
+    jax.block_until_ready(img_d)
+
+    def timeit(name, fn):
+        chk = int(fn(img_d))  # compile+warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c = int(fn(img_d))
+            ts.append(time.perf_counter() - t0)
+            assert c == chk
+        dt = min(ts) / inner
+        print(f"{name}: {dt*1e3:.2f} ms/iter ({size*size/dt/1e6:.0f} Mpix/s)",
+              flush=True)
+        return dt
+
+    @partial(jax.jit, static_argnames=())
+    def relax_only(im):
+        def body(i, acc):
+            salt = jnp.where(acc == jnp.int32(-1), 1, 0).astype(im.dtype)
+            out = relax_packed_planes(im + salt, None, fwd_scan="stats")
+            return acc ^ jnp.sum(out[1].astype(jnp.int32))
+        return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
+
+    @jax.jit
+    def e2e(im):
+        def body(i, acc):
+            salt = jnp.where(acc == jnp.int32(-1), 1, 0).astype(im.dtype)
+            out = run_levels_impl(
+                (im + salt).astype(jnp.int32), None, n_labels=2,
+                max_water_level=254, merging=True, backend="relax_pallas",
+            )
+            return acc ^ jnp.sum(out.astype(jnp.int32))
+        return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
+
+    t_r = timeit("relax only (fwd='stats')", relax_only)
+    t_e = timeit("e2e merging (general tail)", e2e)
+    print(f"tail share: {(t_e - t_r)*1e3:.2f} ms", flush=True)
+
+    # Count the violation-loop rounds by stepping the tail eagerly once
+    # (one dispatch per pass — only the COUNT matters here).
+    from rustronomy_watershed_tpu.ops import scan_merge as sm
+
+    out = relax_packed_planes(img_d, None, fwd_scan="stats")
+    lab_pad = out[1]
+    p, col_off, _tile = out[2], out[3], out[4]
+    h, w = size, size
+    hp, wp = lab_pad.shape
+    h2 = hp - 2 * p
+    tl = sm._tail_tile(h2) if h2 % 8 == 0 else _tile
+    col_lo, col_hi = col_off, col_off + w - 1
+    y = sm._call_round_kernel(
+        sm._fwd_v_kernel, lab_pad, tile=tl, interpret=False, out_rows=h2,
+        col_lo=col_lo, col_hi=col_hi, row_off=p, always_write=True,
+    )[0]
+    rounds = 0
+    while True:
+        y, viol = sm._call_round_kernel(
+            sm._bwd_vh_kernel, y, tile=tl, interpret=False,
+            real_h=h, col_lo=col_lo, col_hi=col_hi,
+        )
+        rounds += 1
+        if not bool(viol):
+            break
+        y = sm._call_round_kernel(
+            sm._fwd_v_kernel, y, tile=tl, interpret=False,
+            col_lo=col_lo, col_hi=col_hi,
+        )[0]
+        if rounds > 2000:
+            print("rounds > 2000, aborting count", flush=True)
+            break
+    print(f"tail rounds to fixed point: {rounds}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
