@@ -395,6 +395,13 @@ def _component_min_pallas(labels, h, w, tile, interpret):
         col_lo=0, col_hi=w - 1,
     )
 
+    # Round schedule note (r11): an alternating single-pass schedule
+    # (bwd_vh / fwd_vh, one plane pass per round) was built and HARDWARE-
+    # MEASURED SLOWER on the ~53-round NaN-masked regime (170.7 vs 187.1
+    # Mpix/s at 4096²/10%): one v-direction per round needs ~2x the rounds,
+    # and each round pays the EXPENSIVE horizontal lane-doubling scans
+    # (0.60 of the 1.09 ms pass) — the fwd+bwd_vh round amortises one h
+    # over a complete vertical run-min.  Kept: the two-pass round below.
     def body(state):
         y, _ = state
         out, viol = _call_round_kernel(
@@ -481,15 +488,15 @@ def component_min_from_padded(
             (y0, lab_pad),
         )
 
+    # Two-pass rounds (see _component_min_pallas's schedule note — the
+    # alternating single-pass variant measured slower on hardware).
+    # viol == False is the full fixed-point certificate.
     def body(state):
         y, _ = state
         out, viol = _call_round_kernel(
             _bwd_vh_kernel, y, tile=tile, interpret=interpret,
             real_h=h, col_lo=col_lo, col_hi=col_hi,
         )
-        # viol == False is the full fixed-point certificate (violation
-        # stencil in the kernel), so the next round's forward pass only
-        # runs when actually needed.
         y2 = jax.lax.cond(
             viol,
             lambda o: _call_round_kernel(

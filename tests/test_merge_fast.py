@@ -473,3 +473,55 @@ def test_tail_tile_divisor_choice():
     assert _tail_tile(8208) == 48   # 57 x 144: 64 does not divide
     assert _tail_tile(8) == 8
     assert _tail_tile(40) == 40
+
+
+def test_alternating_rounds_match_union_find_on_maze(rng):
+    """The r11 alternating single-pass round schedule (bwd_vh / fwd_vh) must
+    reach the same unique fixed point as an independent host union-find on
+    adversarial hole-laced 'maze' fields (30% barriers — the NaN-masked
+    astronomy regime that runs ~50+ rounds; VERDICT r3 #2)."""
+    from rustronomy_watershed_tpu.ops.scan_merge import component_min_labels
+
+    h, w = 48, 80
+    lab = rng.integers(1, 400, size=(h, w)).astype(np.int32)
+    lab[rng.random((h, w)) < 0.3] = 0
+    got = np.asarray(
+        component_min_labels(jnp.asarray(lab), use_pallas=True, interpret=True)
+    )
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    idx = lambda y, x: y * w + x  # noqa: E731
+    for y in range(h):
+        for x in range(w):
+            if lab[y, x] == 0:
+                continue
+            # blocked border-border pairs: h-edges in rows {0, h-1},
+            # v-edges in cols {0, w-1} (reference window-centre rule)
+            if x + 1 < w and lab[y, x + 1] != 0 and y not in (0, h - 1):
+                union(idx(y, x), idx(y, x + 1))
+            if y + 1 < h and lab[y + 1, x] != 0 and x not in (0, w - 1):
+                union(idx(y, x), idx(y + 1, x))
+    comp_min = {}
+    for y in range(h):
+        for x in range(w):
+            if lab[y, x]:
+                r = find(idx(y, x))
+                comp_min[r] = min(comp_min.get(r, 1 << 30), int(lab[y, x]))
+    want = np.zeros_like(lab)
+    for y in range(h):
+        for x in range(w):
+            if lab[y, x]:
+                want[y, x] = comp_min[find(idx(y, x))]
+    np.testing.assert_array_equal(got, want)
