@@ -324,9 +324,25 @@ def run_levels_impl(
                     )
                     return jnp.where(interior, gmin, jnp.int32(0))
 
+            # General-tail engine: the 2x-row-coarsened scan system (exact —
+            # ops/scan_merge.py coarse-engine block comment) halves the
+            # per-round cost and shortens rounds on hole-laced (NaN-masked)
+            # fields, which run ~50+ rounds at 4096².  Static gates: the
+            # packed coarse plane carries values in 24 bits, and the
+            # coarsen grid needs an even band split of the padded height.
+            h2_pad = lab_pad.shape[0] - 2 * p
+            use_coarse = h2_pad % 16 == 0 and n_labels < (1 << 24)
+
             def _scan_tail(lab_pad):
-                # y0=None: pass 1 runs here (the stats-only epilogue never
-                # produced it) — bit-identical to the fused plane.
+                # y0=None: pass 1 runs in-tail (the stats-only epilogue
+                # never produced it) — bit-identical to the fused plane.
+                if use_coarse:
+                    from .scan_merge import component_min_coarse_from_padded
+
+                    return component_min_coarse_from_padded(
+                        lab_pad, p=p, h=h, w=w, interpret=interpret,
+                        col_off=col_off,
+                    )
                 return component_min_from_padded(
                     lab_pad, p=p, h=h, w=w, tile=tile_r, interpret=interpret,
                     col_off=col_off,

@@ -580,3 +580,511 @@ def component_min_labels(
         lambda s: s[1], body, (labels, jnp.bool_(True))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# 2x-row-coarsened component-min engine (r11) — the general (NaN / border-
+# seed) merging tail.
+#
+# A coarse cell is one column's fine row pair (2i, 2i+1).  EXACTNESS: a 2x1
+# block's claimed cells are ALWAYS internally 4-connected (they are
+# vertically adjacent), so contracting each block to one graph node with
+#   * node value  = min of its claimed fine labels (0 when both unclaimed),
+#   * v-edge(i-1, i)  iff  fine pair (2i-1, 2i) both claimed,
+#   * h-edge(j-1, j)  iff  (top_{j-1} & top_j) | (bot_{j-1} & bot_j),
+#     each half masked by the blocked-border-row rule,
+# yields a graph whose components are exactly the images of the fine
+# components and whose component minima coincide — so the coarse fixed
+# point broadcast back to claimed fine cells IS the fine fixed point
+# (prototyped + union-find-verified; tests/test_merge_fast.py).  The ONE
+# exception is the border columns: their vertical pairs are BLOCKED
+# (border-border), so a border 2x1 block may be internally disconnected —
+# border columns are excluded from the coarse system entirely and their
+# only unblocked edges (horizontal, into columns col_lo+1 / col_hi-1, same
+# fine row, rows 1..real_h-2) are folded in before the scans and resolved
+# after the broadcast.  2x further coarsening is NOT exact (a 2x1 block of
+# coarse cells is internally connected only when its v-edge exists), so
+# one level is all there is.
+#
+# Why: the hole-laced (NaN-masked) regime runs ~50+ scan rounds at 4096²
+# (probe_nan_tail r11: 53 rounds, 79.5 ms of the 91 ms e2e).  The coarse
+# plane halves every pass's row count AND lengthens effective h-runs (an
+# h-barrier in one fine row no longer breaks the run if the other row
+# connects), dropping the round count too (measured in the numpy
+# prototype: 21 -> 14 rounds at 1024²/10%).
+#
+# Plane layout: int32 = value (bits 0..23; labels are < 2^24 — the caller
+# gates on n_labels) | 4 direction-dependent scan reset bits.  Edge-based
+# resets are NOT symmetric like barrier cells: the forward reset at i is
+# "no edge (i-1, i)", the backward reset at i is "no edge (i, i+1)".
+# ---------------------------------------------------------------------------
+
+_CVAL = (1 << 24) - 1
+_CB_VF = 24  # fwd-v reset bit
+_CB_VB = 25  # bwd-v reset bit
+_CB_HF = 26  # fwd-h reset bit
+_CB_HB = 27  # bwd-h reset bit
+
+
+def _coarsen_kernel(
+    lab_hbm,
+    c_out,
+    chg_ref,
+    win,
+    cst,
+    carry,
+    edge,  # carry/edge unused; scratch layout shared with the round kernels
+    sems,
+    *,
+    tile,
+    p,
+    real_h,
+    col_lo,
+    col_hi,
+):
+    """Build the packed coarse plane from the relax engine's padded labels.
+
+    Band i emits coarse rows [i·t, i·t + t) from fine rows
+    [p + 2it, p + 2it + 2t), DMA'd with an 8-row halo on BOTH sides (the
+    apron rows of lab_pad are unclaimed zeros, so band 0 / the last band
+    read valid barrier halos): the halo provides fine rows 2r-1 / 2r+2 for
+    the v-edge bits of the band's boundary rows."""
+    i = pl.program_id(0)
+    gy = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = 1 - slot
+    wp = win.shape[-1]
+    t = tile
+    inf = jnp.int32(_INF)
+
+    def dma_in(s, band):
+        return pltpu.make_async_copy(
+            lab_hbm.at[pl.ds(p + band * 2 * t - 8, 2 * t + 16), :],
+            win.at[s],
+            sems.at[s, 0],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        chg_ref[0, 0] = 0
+        dma_in(slot, 0).start()
+
+    @pl.when(i + 1 < gy)
+    def _():
+        dma_in(nslot, i + 1).start()
+
+    dma_in(slot, i).wait()
+
+    x = win[slot]  # (2t + 16, wp) fine labels, band rows at [8, 8 + 2t)
+    pairs = x[8 : 8 + 2 * t, :].reshape(t, 2, wp)
+    top = pairs[:, 0, :]
+    bot = pairs[:, 1, :]
+    # fine row 2r-1 (bot of the coarse row above) / 2r+2 (top of the one
+    # below), via the same reshape trick on shifted windows.
+    prev_bot = x[7 : 7 + 2 * t, :].reshape(t, 2, wp)[:, 0, :]
+    next_top = x[10 : 10 + 2 * t, :].reshape(t, 2, wp)[:, 0, :]
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (t, wp), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (t, wp), 1)
+    grow2 = (rr + i * t) * 2  # global fine row of the top half
+
+    tcl = top != 0
+    bcl = bot != 0
+    val = jnp.minimum(
+        jnp.where(tcl, top, inf), jnp.where(bcl, bot, inf)
+    )
+    val = jnp.where(tcl | bcl, val, jnp.int32(0))
+
+    # Border-column folds: a border cell merges with the SAME-FINE-ROW
+    # interior neighbour (rows 1..real_h-2 only; h-edges in rows 0 and
+    # real_h-1 are border-border, blocked).
+    interior_c = (cc > col_lo) & (cc < col_hi)
+    for half, plane, cl, growh in (
+        (0, top, tcl, grow2),
+        (1, bot, bcl, grow2 + 1),
+    ):
+        row_ok = (growh != 0) & (growh != real_h - 1)
+        for nb, is_lo in ((pltpu.roll(plane, 1, 1), True),
+                          (pltpu.roll(plane, wp - 1, 1), False)):
+            at = cc == (col_lo + 1 if is_lo else col_hi - 1)
+            fold = at & cl & (nb != 0) & row_ok
+            val = jnp.where(
+                fold, jnp.minimum(val, nb & jnp.int32(_CVAL)), val
+            )
+    # Border columns leave the coarse system (empty nodes).
+    val = jnp.where((cc == col_lo) | (cc == col_hi), jnp.int32(0), val)
+    empty = val == 0
+
+    # v-reset bits (direction-dependent; see the block comment).
+    vf = empty | jnp.logical_not((prev_bot != 0) & tcl)
+    vb = empty | jnp.logical_not(bcl & (next_top != 0))
+
+    # h-edge masks: claimed halves, excluding border columns and the
+    # blocked border rows of each half.  Mosaic cannot rotate i1 vectors
+    # ("Rotate with non-32-bit data"), so the rolled masks ride int32.
+    tcl_e = (
+        tcl & interior_c & (grow2 != 0) & (grow2 != real_h - 1)
+    ).astype(jnp.int32)
+    bcl_e = (bcl & interior_c & (grow2 + 1 != real_h - 1)).astype(jnp.int32)
+    hedge = (pltpu.roll(tcl_e, 1, 1) & tcl_e) | (
+        pltpu.roll(bcl_e, 1, 1) & bcl_e
+    )
+    hf = empty | (hedge == 0)
+    hb = empty | (pltpu.roll(hedge, wp - 1, 1) == 0)
+
+    c = (
+        val
+        | (vf.astype(jnp.int32) << _CB_VF)
+        | (vb.astype(jnp.int32) << _CB_VB)
+        | (hf.astype(jnp.int32) << _CB_HF)
+        | (hb.astype(jnp.int32) << _CB_HB)
+    )
+    cst[...] = c
+    co = pltpu.make_async_copy(
+        cst, c_out.at[pl.ds(i * t, t), :], sems.at[slot, 1]
+    )
+    co.start()
+    co.wait()
+
+
+def _cfwd_v_kernel(
+    c_hbm,
+    c_out,
+    chg_ref,
+    win,
+    cst,
+    carry,
+    edge,  # edge unused
+    sems,
+    *,
+    tile,
+):
+    """Coarse pass 1: forward vertical scan under the packed vf reset bits
+    (banded, cross-band carry) — the coarse mirror of _fwd_v_kernel."""
+    i = pl.program_id(0)
+    gy = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = 1 - slot
+    wp = win.shape[-1]
+    inf = jnp.int32(_INF)
+
+    def dma_in(s, band):
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(band * tile, tile), :], win.at[s], sems.at[s, 0]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        chg_ref[0, 0] = 0
+        carry[...] = jnp.full_like(carry, inf)
+        dma_in(slot, 0).start()
+
+    @pl.when(i + 1 < gy)
+    def _():
+        dma_in(nslot, i + 1).start()
+
+    dma_in(slot, i).wait()
+
+    c = win[slot]
+    x = c & jnp.int32(_CVAL)
+    empty = x == 0
+    vf = jax.lax.shift_right_logical(c, _CB_VF) & 1
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 0)
+    v, b = _seg_min_scan(jnp.where(empty, inf, x), vf, 0, tile, False, rr)
+    final = jnp.where(b != 0, v, jnp.minimum(v, carry[...]))
+    carry[...] = jnp.min(
+        jnp.where(rr == tile - 1, final, inf), axis=0, keepdims=True
+    )
+    y = jnp.where(empty, jnp.int32(0), final)
+    band_chg = jnp.any(y != x)
+    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], band_chg.astype(jnp.int32))
+
+    @pl.when(band_chg)
+    def _():
+        cst[...] = (c & jnp.int32(~_CVAL)) | y
+        co = pltpu.make_async_copy(
+            cst, c_out.at[pl.ds(i * tile, tile), :], sems.at[slot, 1]
+        )
+        co.start()
+        co.wait()
+
+
+def _cbwd_vh_kernel(
+    c_hbm,
+    c_out,
+    chg_ref,
+    win,
+    cst,
+    carry,
+    edge,
+    sems,
+    *,
+    tile,
+):
+    """Coarse pass 2 (reversed band order): backward vertical scan + both
+    horizontal scans under the packed reset bits + the violation stencil —
+    the coarse mirror of _bwd_vh_kernel.  A violation-free pass certifies
+    the coarse fixed point (same argument as the fine kernel: values only
+    min-propagate within components, the min cell never rises, so an
+    edge-consistent state is constant-per-component at exactly the min)."""
+    j = pl.program_id(0)
+    gy = pl.num_programs(0)
+    i = gy - 1 - j  # bands bottom-up
+    slot = jax.lax.rem(j, 2)
+    nslot = 1 - slot
+    wp = win.shape[-1]
+    inf = jnp.int32(_INF)
+
+    def dma_in(s, band):
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(band * tile, tile), :], win.at[s], sems.at[s, 0]
+        )
+
+    @pl.when(j == 0)
+    def _():
+        chg_ref[0, 0] = 0
+        carry[...] = jnp.full_like(carry, inf)
+        edge[...] = jnp.zeros_like(edge)  # no band below the last
+        dma_in(slot, i).start()
+
+    @pl.when(j + 1 < gy)
+    def _():
+        dma_in(nslot, i - 1).start()
+
+    dma_in(slot, i).wait()
+
+    c = win[slot]
+    x = c & jnp.int32(_CVAL)
+    empty = x == 0
+    vb = jax.lax.shift_right_logical(c, _CB_VB) & 1
+    hf = jax.lax.shift_right_logical(c, _CB_HF) & 1
+    hb = jax.lax.shift_right_logical(c, _CB_HB) & 1
+    vf = jax.lax.shift_right_logical(c, _CB_VF) & 1
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+
+    v, b = _seg_min_scan(jnp.where(empty, inf, x), vb, 0, tile, True, rr)
+    final = jnp.where(b != 0, v, jnp.minimum(v, carry[...]))
+    carry[...] = jnp.min(jnp.where(rr == 0, final, inf), axis=0, keepdims=True)
+    z = jnp.where(empty, jnp.int32(0), final)
+
+    zv = jnp.where(empty, inf, z)
+    hfv, _ = _seg_min_scan(zv, hf, 1, wp, False, cc)
+    hbv, _ = _seg_min_scan(zv, hb, 1, wp, True, cc)
+    out = jnp.where(empty, jnp.int32(0), jnp.minimum(hfv, hbv))
+    band_chg = jnp.any(out != x)
+
+    # Violation stencil over the coarse edges: a reset bit of 0 IS the
+    # edge-present certificate (the bits fold in emptiness).
+    rolled_v = pltpu.roll(out, 1, 0)
+    mm_v = (out != rolled_v) & (vf == 0) & (rr >= 1)
+    rolled_h = pltpu.roll(out, 1, 1)
+    mm_h = (out != rolled_h) & (hf == 0) & (cc >= 1)
+    below = edge[...]
+    last = jnp.where(rr == tile - 1, out, 0)
+    below_b = jnp.where(rr == tile - 1, below, 0)
+    mm_b = (last != below_b) & (jnp.where(rr == tile - 1, vb, 1) == 0)
+    viol = jnp.any(mm_v) | jnp.any(mm_h) | jnp.any(mm_b)
+    edge[...] = out[0:1, :]
+    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], viol.astype(jnp.int32))
+
+    @pl.when(band_chg)
+    def _():
+        cst[...] = (c & jnp.int32(~_CVAL)) | out
+        co = pltpu.make_async_copy(
+            cst, c_out.at[pl.ds(i * tile, tile), :], sems.at[slot, 1]
+        )
+        co.start()
+        co.wait()
+
+
+def _broadcast_kernel(
+    c_hbm,
+    lab_hbm,
+    out_hbm,
+    win_c,
+    win_f,
+    ost,
+    sems,
+    *,
+    tile,
+    p,
+    real_h,
+    col_lo,
+    col_hi,
+):
+    """Expand the converged coarse plane back to fine: every claimed fine
+    cell takes its coarse cell's value (exact — the 2x1 block is internally
+    connected), then the border columns resolve against their same-row
+    interior neighbour's final value (min when merged, own label when the
+    neighbour is unclaimed or the row is a blocked border row)."""
+    i = pl.program_id(0)
+    gy = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = 1 - slot
+    wp = win_c.shape[-1]
+    t = tile
+
+    def dma_in(s, band):
+        return (
+            pltpu.make_async_copy(
+                c_hbm.at[pl.ds(band * t, t), :], win_c.at[s], sems.at[s, 0]
+            ),
+            pltpu.make_async_copy(
+                lab_hbm.at[pl.ds(p + band * 2 * t, 2 * t), :],
+                win_f.at[s],
+                sems.at[s, 1],
+            ),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for d in dma_in(slot, 0):
+            d.start()
+
+    @pl.when(i + 1 < gy)
+    def _():
+        for d in dma_in(nslot, i + 1):
+            d.start()
+
+    for d in dma_in(slot, i):
+        d.wait()
+
+    cval = win_c[slot] & jnp.int32(_CVAL)  # (t, wp)
+    lab = win_f[slot]  # (2t, wp) fine labels
+    v2 = jnp.broadcast_to(cval[:, None, :], (t, 2, wp)).reshape(2 * t, wp)
+    out = jnp.where(lab != 0, v2, jnp.int32(0))
+
+    # Border columns: merge with the same-row interior neighbour's final
+    # value in rows 1..real_h-2; otherwise keep the own label.
+    rr = jax.lax.broadcasted_iota(jnp.int32, (2 * t, wp), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (2 * t, wp), 1)
+    grow = rr + i * 2 * t
+    row_ok = (grow != 0) & (grow != real_h - 1)
+    for shift, bcol in ((wp - 1, col_lo), (1, col_hi)):
+        nb = pltpu.roll(out, shift, 1)  # neighbour's broadcast value
+        at = cc == bcol
+        merged = at & (lab != 0) & (nb != 0) & row_ok
+        bv = jnp.where(
+            merged, jnp.minimum(lab, nb), jnp.where(lab != 0, lab, 0)
+        )
+        out = jnp.where(at, bv, out)
+
+    ost[...] = out
+    co = pltpu.make_async_copy(
+        ost, out_hbm.at[pl.ds(i * 2 * t, 2 * t), :], sems.at[slot, 2]
+    )
+    co.start()
+    co.wait()
+
+
+def component_min_coarse_from_padded(
+    lab_pad,
+    *,
+    p: int,
+    h: int,
+    w: int,
+    interpret: bool = False,
+    col_off: int | None = None,
+):
+    """component_min_from_padded on the exact 2x-row-coarsened graph (see
+    the engine block comment) — bit-identical final labels, ~half the
+    per-round cost and fewer rounds on hole-laced fields.  Requires every
+    label < 2^24 (the packed-plane value width) and an even padded height;
+    callers gate on both and fall back to the fine tail otherwise."""
+    hp_src, wp = lab_pad.shape
+    h2 = hp_src - 2 * p
+    if h2 % 16:
+        raise ValueError(f"coarse tail needs h2 % 16 == 0 (got {h2})")
+    if col_off is None:
+        col_off = p
+    col_lo, col_hi = col_off, col_off + w - 1
+    hc = h2 // 2
+    tile = _tail_tile(hc)
+
+    # coarsen: fine padded labels -> packed coarse plane.
+    gy = hc // tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(gy,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * tile + 16, wp), jnp.int32),
+            pltpu.VMEM((tile, wp), jnp.int32),
+            pltpu.VMEM((1, wp), jnp.int32),
+            pltpu.VMEM((1, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    c0, _ = pl.pallas_call(
+        partial(
+            _coarsen_kernel, tile=tile, p=p, real_h=h,
+            col_lo=col_lo, col_hi=col_hi,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hc, wp), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(lab_pad)
+
+    y0, _ = _call_round_kernel(
+        _cfwd_v_kernel, c0, tile=tile, interpret=interpret
+    )
+
+    def body(state):
+        y, _ = state
+        out, viol = _call_round_kernel(
+            _cbwd_vh_kernel, y, tile=tile, interpret=interpret
+        )
+        y2 = jax.lax.cond(
+            viol,
+            lambda o: _call_round_kernel(
+                _cfwd_v_kernel, o, tile=tile, interpret=interpret
+            )[0],
+            lambda o: o,
+            out,
+        )
+        return y2, viol
+
+    cfin, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (y0, jnp.bool_(True))
+    )
+
+    # broadcast back to fine geometry.
+    grid_spec_b = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(gy,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile, wp), jnp.int32),
+            pltpu.VMEM((2, 2 * tile, wp), jnp.int32),
+            pltpu.VMEM((2 * tile, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    fine = pl.pallas_call(
+        partial(
+            _broadcast_kernel, tile=tile, p=p, real_h=h,
+            col_lo=col_lo, col_hi=col_hi,
+        ),
+        grid_spec=grid_spec_b,
+        out_shape=[jax.ShapeDtypeStruct((h2, wp), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(cfin, lab_pad)
+    return jax.lax.slice(fine[0], (0, col_off), (h, col_off + w))

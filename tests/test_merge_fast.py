@@ -525,3 +525,56 @@ def test_alternating_rounds_match_union_find_on_maze(rng):
             if lab[y, x]:
                 want[y, x] = comp_min[find(idx(y, x))]
     np.testing.assert_array_equal(got, want)
+
+
+def test_coarse_tail_matches_fine_on_nan_and_border_seeds(rng):
+    """The 2x-row-coarsened general tail (r11,
+    scan_merge.component_min_coarse_from_padded) must be bit-identical to
+    the fine tail on dense, NaN-laced and border-seed fields — including
+    the border-column fold/resolve machinery (border 2x1 blocks are
+    internally DISCONNECTED, so border columns live outside the coarse
+    system)."""
+    from rustronomy_watershed_tpu.ops import paint_seeds
+    from rustronomy_watershed_tpu.ops.pallas_relax import relax_packed_planes
+    from rustronomy_watershed_tpu.ops.scan_merge import (
+        component_min_coarse_from_padded,
+        component_min_from_padded,
+    )
+
+    cases = []
+    img = rng.integers(0, 254, size=(64, 128)).astype(np.uint8)
+    cases.append((img, None))
+    img = rng.integers(0, 254, size=(96, 128)).astype(np.uint8)
+    img[rng.random((96, 128)) < 0.2] = 255
+    cases.append((img, None))
+    img = rng.integers(0, 40, size=(48, 64)).astype(np.uint8)
+    img[rng.random((48, 64)) < 0.1] = 255
+    cases.append(
+        (img, [(0, 5), (0, 63), (47, 3), (7, 0), (47, 63), (24, 32), (0, 0)])
+    )
+    for img, seeds in cases:
+        h, w = img.shape
+        if seeds is None:
+            from rustronomy_watershed_tpu.ops.seeds import (
+                local_extrema_mask,
+                seed_labels_from_mask,
+            )
+
+            lab0 = seed_labels_from_mask(
+                local_extrema_mask(jnp.asarray(img, jnp.int32))
+            )
+        else:
+            lab0 = paint_seeds((h, w), seeds)
+        out = relax_packed_planes(
+            jnp.asarray(img, jnp.int32), lab0, fwd_scan="stats",
+            interpret=True, steps=16,
+        )
+        lab_pad, p, col_off, tile = out[1], out[2], out[3], out[4]
+        fine = component_min_from_padded(
+            lab_pad, p=p, h=h, w=w, tile=tile, interpret=True,
+            col_off=col_off,
+        )
+        coarse = component_min_coarse_from_padded(
+            lab_pad, p=p, h=h, w=w, interpret=True, col_off=col_off
+        )
+        np.testing.assert_array_equal(np.asarray(fine), np.asarray(coarse))
