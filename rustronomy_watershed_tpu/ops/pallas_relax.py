@@ -882,6 +882,12 @@ def resolve_stripe_config(
     if w in STRIPE_TABLE:
         nx, cw, t_meas = STRIPE_TABLE[w]
         t = tile if tile is not None else clamp_tile(t_meas)
+        if tile is None:
+            # Drift resilience: a measured tile steps down the 8-multiple
+            # schedule when the session's derated budget no longer fits it
+            # (same discipline as resolve_relax_config's table shrink).
+            while t > 8 and vmem_model_bytes2d(cw, steps, t, fwd_scan) > vmem_budget():
+                t -= 8
         return steps, t, nx, cw
 
     # Modeled decision for unmeasured widths.

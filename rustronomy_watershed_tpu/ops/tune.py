@@ -74,9 +74,17 @@ RELAX_TILE_TABLE: dict[int, int] = {
 # (ops.pallas_relax.resolve_stripe_config).  A listed width ALWAYS stripes
 # with this exact configuration; unlisted widths fall back to the modeled
 # redundancy comparison (stripes engage when the model says column blocking
-# beats the VMEM-capped full-width band — first true around w ≈ 6k).
-# Empty until the r8 hardware sweep lands a measured winner.
-STRIPE_TABLE: dict[int, tuple[int, int, int]] = {}
+# beats the VMEM-capped full-width band — first true around w ≈ 5k).
+# r11 hardware sweep (segmenting Mpix/s, 1-D forced vs the modeled stripe
+# config — the model's engage decision measured CORRECT at every width):
+#   5120²: 1947.8 vs 1964.8 (+0.9%, marginal — right at the boundary)
+#   6144²: 1891.1 vs 1981.6 (+4.8%)
+#   8192²: 1774 (r8 1-D) vs 1908.4 (+7.6%; matches r8/r10 1906.8/1908.6)
+STRIPE_TABLE: dict[int, tuple[int, int, int]] = {
+    5120: (2, 2560, 512),
+    6144: (2, 3072, 480),
+    8192: (2, 4096, 352),
+}
 
 _MIN_STEPS = 8  # Mosaic sublane-DMA slice granularity
 
