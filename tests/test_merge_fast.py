@@ -578,3 +578,30 @@ def test_coarse_tail_matches_fine_on_nan_and_border_seeds(rng):
             lab_pad, p=p, h=h, w=w, interpret=True, col_off=col_off
         )
         np.testing.assert_array_equal(np.asarray(fine), np.asarray(coarse))
+
+    # Striped relax geometry (col_off = _STRIPE_HALO, lane padding between
+    # and beyond stripes): the coarse tail must treat the pad lanes as
+    # barriers exactly like the fine tail.
+    img = rng.integers(0, 254, size=(96, 192)).astype(np.uint8)
+    img[rng.random((96, 192)) < 0.15] = 255
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    lab0 = seed_labels_from_mask(
+        local_extrema_mask(jnp.asarray(img, jnp.int32))
+    )
+    out = relax_packed_planes(
+        jnp.asarray(img, jnp.int32), lab0, fwd_scan="stats",
+        interpret=True, steps=16, stripes=(2, 128),
+    )
+    lab_pad, p, col_off, tile = out[1], out[2], out[3], out[4]
+    fine = component_min_from_padded(
+        lab_pad, p=p, h=96, w=192, tile=tile, interpret=True,
+        col_off=col_off,
+    )
+    coarse = component_min_coarse_from_padded(
+        lab_pad, p=p, h=96, w=192, interpret=True, col_off=col_off
+    )
+    np.testing.assert_array_equal(np.asarray(fine), np.asarray(coarse))
