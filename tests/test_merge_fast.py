@@ -605,3 +605,54 @@ def test_coarse_tail_matches_fine_on_nan_and_border_seeds(rng):
         lab_pad, p=p, h=96, w=192, interpret=True, col_off=col_off
     )
     np.testing.assert_array_equal(np.asarray(fine), np.asarray(coarse))
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_coarse_tail_randomized_differential(rng, trial):
+    """Randomized coarse-vs-fine differential (slim CI version of the r11
+    60-trial fuzz campaign, 0 failures): random dynamic ranges, sentinel
+    densities up to 60%, painted border/corner seeds, mixed steps."""
+    from rustronomy_watershed_tpu.ops import paint_seeds
+    from rustronomy_watershed_tpu.ops.pallas_relax import relax_packed_planes
+    from rustronomy_watershed_tpu.ops.scan_merge import (
+        component_min_coarse_from_padded,
+        component_min_from_padded,
+    )
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    gen = np.random.default_rng(1000 + trial)
+    h, w = [(32, 64), (48, 192), (64, 64)][trial % 3]
+    hi = int(gen.choice([3, 60, 254]))
+    img = gen.integers(0, hi, size=(h, w)).astype(np.uint8)
+    img[gen.random((h, w)) < float(gen.choice([0.05, 0.3, 0.6]))] = 255
+    if trial % 2:
+        coords = list(
+            {
+                (int(gen.integers(0, h)), int(gen.integers(0, w)))
+                for _ in range(8)
+            }
+        )
+        lab0 = paint_seeds((h, w), coords)
+    else:
+        lab0 = seed_labels_from_mask(
+            local_extrema_mask(jnp.asarray(img, jnp.int32))
+        )
+    if int(np.asarray(lab0).max()) == 0:
+        pytest.skip("no seeds in this draw")
+    out = relax_packed_planes(
+        jnp.asarray(img, jnp.int32), lab0, fwd_scan="stats",
+        interpret=True, steps=16,
+    )
+    lab_pad, p, col_off, tile = out[1], out[2], out[3], out[4]
+    if (lab_pad.shape[0] - 2 * p) % 16:
+        pytest.skip("fine-tail geometry (production gate)")
+    fine = component_min_from_padded(
+        lab_pad, p=p, h=h, w=w, tile=tile, interpret=True, col_off=col_off
+    )
+    coarse = component_min_coarse_from_padded(
+        lab_pad, p=p, h=h, w=w, interpret=True, col_off=col_off
+    )
+    np.testing.assert_array_equal(np.asarray(fine), np.asarray(coarse))
