@@ -67,12 +67,13 @@ def main():
             return acc ^ jnp.sum(out.astype(jnp.int32))
         return jax.lax.fori_loop(0, inner, body, jnp.int32(0))
 
-    t_r = timeit("relax only (fwd='stats')", relax_only)
-    t_e = timeit("e2e merging (general tail)", e2e)
-    print(f"tail share: {(t_e - t_r)*1e3:.2f} ms", flush=True)
+    if os.environ.get("PROBE_COUNT_ONLY", "0") != "1":
+        t_r = timeit("relax only (fwd='stats')", relax_only)
+        t_e = timeit("e2e merging (general tail)", e2e)
+        print(f"tail share: {(t_e - t_r)*1e3:.2f} ms", flush=True)
 
-    # Count the violation-loop rounds by stepping the tail eagerly once
-    # (one dispatch per pass — only the COUNT matters here).
+    # Count the violation-loop rounds of BOTH tails by stepping them
+    # eagerly (one dispatch per pass — only the COUNTs matter here).
     from rustronomy_watershed_tpu.ops import scan_merge as sm
 
     out = relax_packed_planes(img_d, None, fwd_scan="stats")
@@ -103,7 +104,68 @@ def main():
         if rounds > 2000:
             print("rounds > 2000, aborting count", flush=True)
             break
-    print(f"tail rounds to fixed point: {rounds}", flush=True)
+    print(f"FINE tail rounds to fixed point: {rounds}", flush=True)
+
+    if h2 % 16 == 0:
+        # Coarse-engine round count (the production general tail, r11):
+        # replicate component_min_coarse_from_padded's loop eagerly.
+        hc = h2 // 2
+        tc = sm._tail_tile(hc)
+        import jax as _jax
+        from jax.experimental import pallas as _pl
+        from jax.experimental.pallas import tpu as _pltpu
+        from functools import partial as _partial
+
+        grid_spec = _pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(hc // tc,),
+            in_specs=[_pl.BlockSpec(memory_space=_pl.ANY)],
+            out_specs=[
+                _pl.BlockSpec(memory_space=_pl.ANY),
+                _pl.BlockSpec(
+                    (1, 1), lambda i: (0, 0), memory_space=_pltpu.SMEM
+                ),
+            ],
+            scratch_shapes=[
+                _pltpu.VMEM((2, 2 * tc + 16, wp), jnp.int32),
+                _pltpu.VMEM((tc, wp), jnp.int32),
+                _pltpu.VMEM((1, wp), jnp.int32),
+                _pltpu.VMEM((1, wp), jnp.int32),
+                _pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        c, _ = _pl.pallas_call(
+            _partial(
+                sm._coarsen_kernel, tile=tc, p=p, real_h=h,
+                col_lo=col_lo, col_hi=col_hi,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                _jax.ShapeDtypeStruct((hc, wp), jnp.int32),
+                _jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            compiler_params=_pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024
+            ),
+        )(lab_pad)
+        c = sm._call_round_kernel(
+            sm._cfwd_v_kernel, c, tile=tc, interpret=False
+        )[0]
+        crounds = 0
+        while True:
+            c, viol = sm._call_round_kernel(
+                sm._cbwd_vh_kernel, c, tile=tc, interpret=False
+            )
+            crounds += 1
+            if not bool(viol):
+                break
+            c = sm._call_round_kernel(
+                sm._cfwd_v_kernel, c, tile=tc, interpret=False
+            )[0]
+            if crounds > 2000:
+                print("coarse rounds > 2000, aborting count", flush=True)
+                break
+        print(f"COARSE tail rounds to fixed point: {crounds}", flush=True)
 
 
 if __name__ == "__main__":
