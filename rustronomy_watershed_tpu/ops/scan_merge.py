@@ -49,7 +49,7 @@ _INF = 2**29  # > any label (buckets cap at 2^23); < the packed flag bit
 _FLAG = 1 << 30
 
 
-def _seg_min_scan(v, b, axis, size, reverse, idx):
+def _seg_min_scan(v, b, axis, size, reverse, idx, limit=None):
     """Inclusive segmented min scan by operator doubling.
 
     ``v``: value plane (< 2^29 — labels or _INF); ``b``: reset-flag plane as
@@ -70,7 +70,13 @@ def _seg_min_scan(v, b, axis, size, reverse, idx):
     ident = jnp.int32(_INF)  # (v=INF, b=0)
     t = v + b * flag
     s = 1
-    while s < size:
+    # ``limit``: stop the doubling early — propagation is then bounded by
+    # limit-1 positions (a WINDOWED scan).  Monotone-sound for the
+    # fixed-point loops (partial run-min still only moves minima within
+    # runs); the loops' violation stencils stay exact, so correctness is
+    # schedule-independent.  The take masks keep using the ARRAY bound
+    # (they exist to kill roll wrap-around, not to bound propagation).
+    while s < (size if limit is None else min(size, limit)):
         if reverse:
             pt = pltpu.roll(t, size - s, axis)
             take = idx < size - s
@@ -820,6 +826,7 @@ def _cbwd_vh_kernel(
     sems,
     *,
     tile,
+    h_window=None,
 ):
     """Coarse pass 2 (reversed band order): backward vertical scan + both
     horizontal scans under the packed reset bits + the violation stencil —
@@ -869,8 +876,8 @@ def _cbwd_vh_kernel(
     z = jnp.where(empty, jnp.int32(0), final)
 
     zv = jnp.where(empty, inf, z)
-    hfv, _ = _seg_min_scan(zv, hf, 1, wp, False, cc)
-    hbv, _ = _seg_min_scan(zv, hb, 1, wp, True, cc)
+    hfv, _ = _seg_min_scan(zv, hf, 1, wp, False, cc, limit=h_window)
+    hbv, _ = _seg_min_scan(zv, hb, 1, wp, True, cc, limit=h_window)
     out = jnp.where(empty, jnp.int32(0), jnp.minimum(hfv, hbv))
     band_chg = jnp.any(out != x)
 
@@ -1040,24 +1047,64 @@ def component_min_coarse_from_padded(
         _cfwd_v_kernel, c0, tile=tile, interpret=interpret
     )
 
-    def body(state):
-        y, _ = state
-        out, viol = _call_round_kernel(
-            _cbwd_vh_kernel, y, tile=tile, interpret=interpret
-        )
-        y2 = jax.lax.cond(
-            viol,
-            lambda o: _call_round_kernel(
-                _cfwd_v_kernel, o, tile=tile, interpret=interpret
-            )[0],
-            lambda o: o,
-            out,
-        )
-        return y2, viol
+    # RWT_COARSE_HWIN=<lanes>: experimental windowed-h schedule — rounds
+    # 0, 1 and every 4th run the full-width h-scans (long runs / blob
+    # regions), the rest bound the lane doubling at <lanes> (short-run
+    # dot-laced regimes pay ~half the h steps).  Bit-identity is schedule-
+    # independent (violation stencil); default off.
+    import os as _os
 
-    cfin, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (y0, jnp.bool_(True))
-    )
+    hwin_env = _os.environ.get("RWT_COARSE_HWIN")
+    h_window = int(hwin_env) if hwin_env else None
+
+    if h_window is None:
+
+        def body(state):
+            y, _ = state
+            out, viol = _call_round_kernel(
+                _cbwd_vh_kernel, y, tile=tile, interpret=interpret
+            )
+            y2 = jax.lax.cond(
+                viol,
+                lambda o: _call_round_kernel(
+                    _cfwd_v_kernel, o, tile=tile, interpret=interpret
+                )[0],
+                lambda o: o,
+                out,
+            )
+            return y2, viol
+
+        cfin, _ = jax.lax.while_loop(
+            lambda s: s[1], body, (y0, jnp.bool_(True))
+        )
+    else:
+
+        def body(state):
+            y, _, k = state
+            out, viol = jax.lax.cond(
+                (k < 2) | (jax.lax.rem(k, 4) == 3),
+                lambda yy: _call_round_kernel(
+                    _cbwd_vh_kernel, yy, tile=tile, interpret=interpret
+                ),
+                lambda yy: _call_round_kernel(
+                    _cbwd_vh_kernel, yy, tile=tile, interpret=interpret,
+                    h_window=h_window,
+                ),
+                y,
+            )
+            y2 = jax.lax.cond(
+                viol,
+                lambda o: _call_round_kernel(
+                    _cfwd_v_kernel, o, tile=tile, interpret=interpret
+                )[0],
+                lambda o: o,
+                out,
+            )
+            return y2, viol, k + 1
+
+        cfin, _, _ = jax.lax.while_loop(
+            lambda s: s[1], body, (y0, jnp.bool_(True), jnp.int32(0))
+        )
 
     # broadcast back to fine geometry.
     grid_spec_b = pltpu.PrefetchScalarGridSpec(
