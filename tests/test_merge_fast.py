@@ -656,3 +656,40 @@ def test_coarse_tail_randomized_differential(rng, trial):
         lab_pad, p=p, h=h, w=w, interpret=True, col_off=col_off
     )
     np.testing.assert_array_equal(np.asarray(fine), np.asarray(coarse))
+
+
+def test_coarse_tail_windowed_h_flag_parity(rng, monkeypatch):
+    """RWT_COARSE_HWIN (windowed-h round schedule, BENCHMARKS r11) must not
+    change the fixed point — bit-identity is schedule-independent via the
+    violation stencil."""
+    from rustronomy_watershed_tpu.ops.pallas_relax import relax_packed_planes
+    from rustronomy_watershed_tpu.ops.scan_merge import (
+        component_min_coarse_from_padded,
+    )
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    img = rng.integers(0, 254, size=(64, 256)).astype(np.uint8)
+    img[rng.random((64, 256)) < 0.25] = 255
+    lab0 = seed_labels_from_mask(
+        local_extrema_mask(jnp.asarray(img, jnp.int32))
+    )
+    out = relax_packed_planes(
+        jnp.asarray(img, jnp.int32), lab0, fwd_scan="stats",
+        interpret=True, steps=16,
+    )
+    lab_pad, p, col_off = out[1], out[2], out[3]
+    base = np.asarray(
+        component_min_coarse_from_padded(
+            lab_pad, p=p, h=64, w=256, interpret=True, col_off=col_off
+        )
+    )
+    monkeypatch.setenv("RWT_COARSE_HWIN", "128")
+    windowed = np.asarray(
+        component_min_coarse_from_padded(
+            lab_pad, p=p, h=64, w=256, interpret=True, col_off=col_off
+        )
+    )
+    np.testing.assert_array_equal(base, windowed)
