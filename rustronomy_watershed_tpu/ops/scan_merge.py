@@ -1047,15 +1047,17 @@ def component_min_coarse_from_padded(
         _cfwd_v_kernel, c0, tile=tile, interpret=interpret
     )
 
-    # RWT_COARSE_HWIN=<lanes>: experimental windowed-h schedule — rounds
-    # 0, 1 and every 4th run the full-width h-scans (long runs / blob
-    # regions), the rest bound the lane doubling at <lanes> (short-run
-    # dot-laced regimes pay ~half the h steps).  Bit-identity is schedule-
-    # independent (violation stencil); default off.
+    # Windowed-h round schedule: rounds 0, 1 and every 4th run the
+    # full-width h-scans (long runs / blob regions), the rest bound the
+    # lane doubling at the window (short-run dot-laced regimes pay ~half
+    # the h steps).  Bit-identity is schedule-independent (violation
+    # stencil).  DEFAULT window 256 — hardware-measured >= the full-width
+    # schedule on every probed workload (r11: dots 4096² +4%, dots 8192²
+    # +7.7%, blobs 4096² +1.3%); RWT_COARSE_HWIN overrides ("0" disables).
     import os as _os
 
-    hwin_env = _os.environ.get("RWT_COARSE_HWIN")
-    h_window = int(hwin_env) if hwin_env else None
+    hwin_env = _os.environ.get("RWT_COARSE_HWIN", "256")
+    h_window = int(hwin_env) if hwin_env not in ("", "0", "off") else None
 
     if h_window is None:
 
