@@ -379,6 +379,9 @@ def run_levels_impl(
                     labels,
                     use_pallas=(backend == "relax_pallas"),
                     interpret=interpret,
+                    # Static label bound: routes the Pallas path onto the
+                    # coarse engine (the r11 general-tail accelerator).
+                    max_label=n_labels,
                 ),
                 starved,
             )

@@ -539,7 +539,8 @@ def _vscan_jnp(lab):
 
 
 def component_min_labels(
-    labels, *, use_pallas: bool = True, interpret: bool = False, tile: int | None = None
+    labels, *, use_pallas: bool = True, interpret: bool = False,
+    tile: int | None = None, max_label: int | None = None,
 ):
     """Replace every 4-connected component of nonzero labels (blocked
     border-border edges excluded) by its minimum label.
@@ -550,11 +551,25 @@ def component_min_labels(
     ``use_pallas=True`` runs the fused-round kernels (two banded passes per
     v+h round, no transposes, in-kernel convergence flags); ``False`` runs
     the jnp associative-scan formulation (CPU fallback / readable oracle).
+    ``max_label`` (static): when the caller can bound the labels below
+    2^24 (e.g. run_levels' n_labels bucket), the Pallas path runs the
+    2x-row-coarsened engine (component_min_coarse_from_padded) — the r11
+    general-tail accelerator — on an 8-row zero-margined embedding of the
+    plane; otherwise the fine fixed point runs as before.  Bit-identical
+    either way (tests/test_merge_fast.py).
     """
     labels = jnp.asarray(labels, dtype=jnp.int32)
     h, w = labels.shape
 
     if use_pallas:
+        if max_label is not None and max_label < (1 << 24):
+            h16 = -(-h // 16) * 16
+            wp = -(-w // 128) * 128
+            lab_pad = jnp.zeros((h16 + 16, wp), jnp.int32)
+            lab_pad = jax.lax.dynamic_update_slice(lab_pad, labels, (8, 0))
+            return component_min_coarse_from_padded(
+                lab_pad, p=8, h=h, w=w, interpret=interpret, col_off=0
+            )
         return _component_min_pallas(labels, h, w, tile, interpret)
 
     def vscan(x):

@@ -693,3 +693,23 @@ def test_coarse_tail_windowed_h_flag_parity(rng, monkeypatch):
         )
     )
     np.testing.assert_array_equal(base, windowed)
+
+
+def test_component_min_labels_max_label_coarse_route(rng):
+    """component_min_labels(max_label=<static bound>) routes the Pallas
+    path onto the coarse engine (r11) — bit-identical to both the fine
+    Pallas fixed point and the jnp oracle, including on 30%-barrier
+    mazes with claimed border rows."""
+    lab = rng.integers(1, 300, size=(64, 96)).astype(np.int32)
+    lab[rng.random(lab.shape) < 0.3] = 0
+    a = np.asarray(
+        component_min_labels(jnp.asarray(lab), use_pallas=True, interpret=True)
+    )
+    b = np.asarray(
+        component_min_labels(
+            jnp.asarray(lab), use_pallas=True, interpret=True, max_label=512
+        )
+    )
+    c = np.asarray(component_min_labels(jnp.asarray(lab), use_pallas=False))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
