@@ -39,8 +39,13 @@ _vmem_recovery_hooks: list = []
 
 
 def register_vmem_recovery(hook) -> None:
-    """Register a VMEM-OOM recovery hook (see module docstring, item 2)."""
-    _vmem_recovery_hooks.append(hook)
+    """Register a VMEM-OOM recovery hook (see module docstring, item 2).
+
+    Registration is idempotent: re-importing/reloading a kernel module must
+    not stack duplicate hooks (each duplicate would double the derate per
+    retry)."""
+    if hook not in _vmem_recovery_hooks:
+        _vmem_recovery_hooks.append(hook)
 
 
 def _is_vmem_oom(e: Exception) -> bool:
@@ -88,7 +93,14 @@ def cache_resilient(jitted):
             except Exception as e:  # noqa: BLE001 — filtered just below
                 if not _is_vmem_oom(e):
                     raise
-                if not any(hook() for hook in _vmem_recovery_hooks):
+                # The OOM does not identify which module's kernel overflowed,
+                # so step EVERY registered hook down one notch (no
+                # short-circuit: `any` would starve later hooks while
+                # draining the first one's budget).  Over-derating the
+                # innocent module costs one tile step; under-derating the
+                # guilty one loops here again — both bounded.
+                stepped = [hook() for hook in _vmem_recovery_hooks]
+                if not any(stepped):
                     raise  # no hook could step down further
                 jax.clear_caches()
 

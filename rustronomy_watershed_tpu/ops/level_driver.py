@@ -331,7 +331,10 @@ def run_levels_impl(
             # packed coarse plane carries values in 24 bits, and the
             # coarsen grid needs an even band split of the padded height.
             h2_pad = lab_pad.shape[0] - 2 * p
-            use_coarse = h2_pad % 16 == 0 and n_labels < (1 << 24)
+            # w >= 3: at w == 2 both columns are border columns, so the
+            # coarse system is empty and the border-fold targets coincide
+            # with the (zeroed) border columns — fine tail handles it.
+            use_coarse = h2_pad % 16 == 0 and n_labels < (1 << 24) and w >= 3
 
             def _scan_tail(lab_pad):
                 # y0=None: pass 1 runs in-tail (the stats-only epilogue

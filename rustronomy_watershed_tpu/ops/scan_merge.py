@@ -38,6 +38,7 @@ UNCOLOURED (= 0) pixels are the segment barriers; labels are positive.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 
 import jax
@@ -47,6 +48,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INF = 2**29  # > any label (buckets cap at 2^23); < the packed flag bit
 _FLAG = 1 << 30
+
+
+def _parse_coarse_hwin() -> int | None:
+    """Parse RWT_COARSE_HWIN ONCE at import.
+
+    The value is baked into traced programs (component_min_coarse_from_padded
+    reads it under jit), so a mid-session env change would silently do
+    nothing until every cache is cleared — capturing at import makes that
+    contract explicit.  Values < 2 are rejected: a 1-lane window runs zero
+    doubling steps, leaving convergence to the every-4th full-width rounds —
+    still correct but a silent ~4x round-count regression."""
+    raw = _os.environ.get("RWT_COARSE_HWIN", "256")
+    if raw in ("", "0", "off"):
+        return None
+    v = int(raw)
+    if v < 2:
+        raise ValueError(
+            f"RWT_COARSE_HWIN={raw!r}: need >= 2 lanes, or 0/off to disable"
+        )
+    return v
+
+
+_COARSE_HWIN = _parse_coarse_hwin()
 
 
 def _seg_min_scan(v, b, axis, size, reverse, idx, limit=None):
@@ -556,13 +580,18 @@ def component_min_labels(
     2x-row-coarsened engine (component_min_coarse_from_padded) — the r11
     general-tail accelerator — on an 8-row zero-margined embedding of the
     plane; otherwise the fine fixed point runs as before.  Bit-identical
-    either way (tests/test_merge_fast.py).
+    either way (tests/test_merge_fast.py).  NB ``tile`` applies only to the
+    fine Pallas path: the coarse engine sizes its own bands (_tail_tile of
+    the coarse height) and ignores it.
     """
     labels = jnp.asarray(labels, dtype=jnp.int32)
     h, w = labels.shape
 
     if use_pallas:
-        if max_label is not None and max_label < (1 << 24):
+        # w >= 3: with fewer than 3 columns every column is a border
+        # column — the coarse system would be empty while the fine engine
+        # still h-merges the two columns per row (advisor r4 finding).
+        if max_label is not None and max_label < (1 << 24) and w >= 3:
             h16 = -(-h // 16) * 16
             wp = -(-w // 128) * 128
             lab_pad = jnp.zeros((h16 + 16, wp), jnp.int32)
@@ -1068,11 +1097,11 @@ def component_min_coarse_from_padded(
     # the h steps).  Bit-identity is schedule-independent (violation
     # stencil).  DEFAULT window 256 — hardware-measured >= the full-width
     # schedule on every probed workload (r11: dots 4096² +4%, dots 8192²
-    # +7.7%, blobs 4096² +1.3%); RWT_COARSE_HWIN overrides ("0" disables).
-    import os as _os
-
-    hwin_env = _os.environ.get("RWT_COARSE_HWIN", "256")
-    h_window = int(hwin_env) if hwin_env not in ("", "0", "off") else None
+    # +7.7%, blobs 4096² +1.3%); RWT_COARSE_HWIN overrides ("0" disables) —
+    # parsed ONCE at import (_parse_coarse_hwin), since this line runs at
+    # trace time and a mid-session env change would otherwise be silently
+    # ignored until caches cleared.
+    h_window = _COARSE_HWIN
 
     if h_window is None:
 

@@ -686,7 +686,11 @@ def test_coarse_tail_windowed_h_flag_parity(rng, monkeypatch):
             lab_pad, p=p, h=64, w=256, interpret=True, col_off=col_off
         )
     )
-    monkeypatch.setenv("RWT_COARSE_HWIN", "128")
+    # The flag is captured ONCE at import (advisor r4: a trace-time env read
+    # silently ignored mid-session changes) — patch the module constant.
+    import rustronomy_watershed_tpu.ops.scan_merge as _sm
+
+    monkeypatch.setattr(_sm, "_COARSE_HWIN", 128)
     windowed = np.asarray(
         component_min_coarse_from_padded(
             lab_pad, p=p, h=64, w=256, interpret=True, col_off=col_off
@@ -713,3 +717,60 @@ def test_component_min_labels_max_label_coarse_route(rng):
     c = np.asarray(component_min_labels(jnp.asarray(lab), use_pallas=False))
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(a, c)
+
+
+def test_component_min_labels_two_columns_routes_fine(rng):
+    """w == 2 planes must NOT take the coarse route (advisor r4): both
+    columns are border columns, so the coarse system is empty while the
+    fine engine still h-merges the two columns per row.  The max_label
+    branch gates on w >= 3 and stays bit-identical to the jnp oracle."""
+    for w in (2, 3):
+        lab = rng.integers(0, 5, size=(32, w)).astype(np.int32)
+        lab[0, :] = [1, 2][:w] if w == 2 else [1, 2, 3]
+        a = np.asarray(
+            component_min_labels(
+                jnp.asarray(lab), use_pallas=True, interpret=True,
+                max_label=8,
+            )
+        )
+        b = np.asarray(component_min_labels(jnp.asarray(lab), use_pallas=False))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_vmem_recovery_register_dedupes():
+    """register_vmem_recovery must be idempotent (advisor r4: module reload
+    appended duplicate hooks, doubling the derate per retry) and the OOM
+    path must step ALL registered hooks, not short-circuit on the first."""
+    from rustronomy_watershed_tpu import _compat
+
+    calls = {"a": 0, "b": 0}
+
+    def hook_a():
+        calls["a"] += 1
+        return True
+
+    def hook_b():
+        calls["b"] += 1
+        return True
+
+    saved = list(_compat._vmem_recovery_hooks)
+    try:
+        _compat._vmem_recovery_hooks.clear()
+        _compat.register_vmem_recovery(hook_a)
+        _compat.register_vmem_recovery(hook_a)  # reload double-register
+        _compat.register_vmem_recovery(hook_b)
+        assert _compat._vmem_recovery_hooks == [hook_a, hook_b]
+
+        boom = {"n": 0}
+
+        @_compat.cache_resilient
+        def entry():
+            boom["n"] += 1
+            if boom["n"] == 1:
+                raise RuntimeError("Ran out of memory in memory space vmem")
+            return 42
+
+        assert entry() == 42
+        assert calls == {"a": 1, "b": 1}  # both hooks stepped, once each
+    finally:
+        _compat._vmem_recovery_hooks[:] = saved
