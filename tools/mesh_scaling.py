@@ -18,9 +18,13 @@ reports per shape:
 
 Usage (any host):  RWT_MESH_SIZE=256 python tools/mesh_scaling.py
 (defaults: size 256, halo from the tuned schedule clamp, shapes
-1x1/1x2/2x1/2x2/4x2).  The round counts are a protocol property (geometry +
-halo + convergence), not a platform property — what this measures on the
-virtual mesh is what the real multi-chip mesh executes.
+1x1/1x2/2x1/2x2/4x2/4x4/8x4 over RWT_MESH_DEVICES=32 virtual devices).
+The round counts are a protocol property (geometry + halo + convergence),
+not a platform property — what this measures on the virtual mesh is what
+the real multi-chip mesh executes.  The r7 invariant — schedule-aware halo
+=> at most ONE extra exchange round over 1x1 — is ASSERTED at every mesh
+size (VERDICT r4 #4); RWT_MESH_HALO (a forced narrow halo) disables the
+assertion since the invariant is a property of the tuned schedule.
 """
 
 import os
@@ -29,8 +33,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_NDEV = int(os.environ.get("RWT_MESH_DEVICES", "32"))
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_NDEV}"
 )
 # The ambient axon sitecustomize re-registers the TPU backend when the pool
 # env is present — strip it so this study stays off the tunnel.
@@ -65,8 +71,9 @@ def main():
     bucket = _label_bucket(int(labels0.max()))
 
     devs = jax.devices()
-    shapes = [(1, 1), (1, 2), (2, 1), (2, 2), (4, 2)]
+    shapes = [(1, 1), (1, 2), (2, 1), (2, 2), (4, 2), (4, 4), (8, 4)]
     ref = None
+    rounds_1x1 = None
     print(f"image {size}^2, seeds {int(labels0.max())}")
     print(
         f"{'mesh':>5} {'halo':>4} {'tile':>5} {'rounds':>6} {'runs':>5} "
@@ -106,6 +113,14 @@ def main():
         rounds, runs = (int(x) for x in np.asarray(stats))
         if ref is None:
             ref = out
+            rounds_1x1 = rounds
+        elif not halo_env:
+            # r7 invariant, pinned at EVERY mesh size (VERDICT r4 #4): the
+            # schedule-aware halo costs at most one extra exchange round
+            # over the 1x1 mesh.
+            assert rounds <= rounds_1x1 + 1, (
+                f"{ny}x{nx}: {rounds} rounds > 1x1's {rounds_1x1} + 1"
+            )
         par = "OK" if np.array_equal(out, ref) else "DIVERGES"
         strip = 4 * 2 * (2 * k * w_l + 2 * (h_l + 2 * k) * k)
         total = strip * runs  # converged tiles still ride collectives, but
