@@ -333,6 +333,48 @@ class _WatershedBase(WatershedUtils):
                     edge_correction=self.edge_correction,
                 ).astype(np.int32)
             )
+        if (
+            self.checkpoint_dir is not None
+            and self.wlvl_hook is None
+            and self.plot_path is None
+            and not self.progress
+            and not self.debug
+            and self.mesh is None
+            and self.tie_break == "min"
+            and self._resolved_backend() == "relax_pallas"
+        ):
+            # Fast-path checkpointing (VERDICT r4 #3): set_checkpoint alone
+            # no longer forces the host-stepped per-level loop — the relax
+            # engine's carried planes snapshot at kernel-call boundaries
+            # and resume bit-exactly (ops/ckpt_relax.py).  Any OTHER
+            # observability option still routes the host loop below (its
+            # semantics ARE the per-level stepping).
+            img, labels0 = self._prepare(input_img, seeds)
+            if self._effective_sweep_fn(img.shape) is None:
+                from ..ops.ckpt_relax import ckpt_transform
+                from ..utils.checkpoint import TransformCheckpointer
+
+                ckpt = TransformCheckpointer(
+                    self.checkpoint_dir, self.checkpoint_every
+                )
+                bucket = _label_bucket(len(seeds))
+                labels, starved = ckpt_transform(
+                    img,
+                    labels0,
+                    merging=self._merging,
+                    n_labels=bucket,
+                    max_water_level=self.max_water_level,
+                    checkpointer=ckpt,
+                    interpret=self._interpret,
+                )
+                if bool(starved):
+                    self._sat_fallback_warn()
+                    labels = run_levels(
+                        img, labels0, backend="relax", n_labels=bucket,
+                        max_water_level=self.max_water_level,
+                        merging=self._merging, collect="none",
+                    )
+                return out(labels)
         if self._needs_host_loop():
             # Observability (hook/plots/progress/debug/checkpoint) runs the
             # host-stepped loop, like the reference's clone_with_hook canned

@@ -1,0 +1,152 @@
+"""Fast-path checkpoint / resume for the relax_pallas backend (VERDICT r4 #3).
+
+The relax engine's carried state is exactly two padded planes — packed claim
+keys and labels — plus the band-activity vector (ops/pallas_relax.py
+``relax_fixed_point``), so a long transform can be snapshotted at kernel-call
+boundaries and an interrupted run resumed BIT-EXACTLY: the relaxation is a
+monotone fixed-point iteration with a unique fixed point (the safety
+arguments in ops/pallas_relax.py), so continuing from any intermediate
+monotone state reaches the same final planes regardless of scheduling.  The
+reference's closest capability is per-level history
+(/root/reference/src/lib.rs:1233-1237); this goes beyond it (SURVEY.md §5
+"checkpoint/resume: none").
+
+Tunnel-aware design (BENCHMARKS.md "methodology"): a naive host loop costs a
+~26 ms dispatch+fetch round-trip per kernel call.  The loop here dispatches
+OPTIMISTICALLY — call i+1 is enqueued before call i's convergence flag is
+fetched, so the flag fetch overlaps device compute and a converged plane
+pays one extra in-kernel early-exit call (~1 sweep) instead of a round-trip
+per call.  Snapshots start ``jax.Array.copy_to_host_async`` immediately and
+hand the (already-streaming) host copies to orbax's async save, overlapping
+the downlink with ongoing compute.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _step_impl(v_pad, key, lab, active, sat_bands, *, tile, steps, interpret):
+    """One checkpointable unit: a single relax_block call (the body of
+    relax_fixed_point, including the dense/sparse pipelining switch)."""
+    from .pallas_relax import _dilate_flags, relax_block
+
+    gy = active.shape[0]
+    key, lab, flags, not_conv, sat = jax.lax.cond(
+        jnp.sum(active) * 3 > gy,
+        lambda args: relax_block(
+            *args, tile=tile, steps=steps, interpret=interpret, pipelined=True
+        ),
+        lambda args: relax_block(
+            *args, tile=tile, steps=steps, interpret=interpret, pipelined=False
+        ),
+        (v_pad, key, lab, active),
+    )
+    sat_bands = jnp.where(active > 0, sat, sat_bands)
+    return key, lab, _dilate_flags(flags), not_conv, sat_bands
+
+
+def ckpt_transform(
+    img,
+    labels0,
+    *,
+    merging: bool,
+    n_labels: int,
+    max_water_level: int = 254,
+    checkpointer=None,
+    tile=None,
+    steps=None,
+    interpret: bool = False,
+    _interrupt_after_calls: int | None = None,
+):
+    """Checkpointed transform on the relax_pallas fast path.
+
+    Bit-identical to ``run_levels(backend='relax_pallas')`` (the fixed point
+    is unique; the merging tail is the pinned component_min_labels path).
+    ``checkpointer`` is a utils.checkpoint.TransformCheckpointer (or None
+    for a plain host-stepped run); its ``every`` counts KERNEL CALLS here,
+    not water levels.  ``_interrupt_after_calls`` is the forced-interrupt
+    test hook (test_checkpoint.py): raise after N calls, mid-transform.
+
+    Returns (labels, starved).
+    """
+    from ..constants import NEVER_FILL, UNCOLOURED
+    from .pallas_relax import (
+        _D_BITS,
+        _UNCLAIMED,
+        pack_domain,
+        resolve_relax_config,
+    )
+
+    img = jnp.asarray(img)
+    h, w = img.shape
+    steps, tile = resolve_relax_config(h, w, steps=steps, tile=tile)
+    v_pad, key0, lab0 = pack_domain(img, labels0, tile, steps)
+    gy = (v_pad.shape[0] - 2 * steps) // tile
+
+    calls = 0
+    resume = checkpointer.latest_planes() if checkpointer is not None else None
+    if resume is not None and resume["meta"] == [h, w, tile, steps]:
+        key = jnp.asarray(resume["key_pad"])
+        lab = jnp.asarray(resume["lab_pad"])
+        active = jnp.asarray(resume["active"])
+        sat_bands = jnp.asarray(resume["sat_bands"])
+        calls = int(resume["calls"])
+    else:
+        key, lab = key0, lab0
+        active = jnp.ones((gy,), jnp.int32)
+        sat_bands = jnp.zeros((gy,), jnp.int32)
+
+    from .._compat import cache_resilient
+
+    step = cache_resilient(
+        jax.jit(partial(_step_impl, tile=tile, steps=steps, interpret=interpret))
+    )
+
+    # Optimistic host loop: fetch call i's flag while call i+1 runs.
+    prev_nc = None
+    while True:
+        key, lab, active, nc, sat_bands = step(
+            v_pad, key, lab, active, sat_bands
+        )
+        calls += 1
+        if (
+            checkpointer is not None
+            and calls % checkpointer.every == 0
+        ):
+            checkpointer.save_planes(
+                calls, key, lab, active, sat_bands, meta=[h, w, tile, steps]
+            )
+        if _interrupt_after_calls is not None and calls >= _interrupt_after_calls:
+            raise RuntimeError(f"forced interrupt after {calls} calls")
+        if prev_nc is not None and not bool(prev_nc):
+            break  # converged (the extra call was an in-kernel no-op)
+        prev_nc = nc
+
+    starved = jnp.any(sat_bands > 0)
+
+    key_c = jax.lax.dynamic_slice(key, (steps, steps), (h, w))
+    lab_c = jax.lax.dynamic_slice(lab, (steps, steps), (h, w))
+    claim = jnp.where(
+        key_c == _UNCLAIMED,
+        jnp.int32(NEVER_FILL + 1),
+        jax.lax.shift_right_logical(key_c, _D_BITS),
+    )
+    if max_water_level >= 254:
+        labels = lab_c  # claimed-ness gate: lab plane IS the final image
+    else:
+        labels = jnp.where(claim <= max_water_level, lab_c, UNCOLOURED)
+    if merging:
+        from .scan_merge import component_min_labels
+
+        labels = component_min_labels(
+            labels, use_pallas=True, interpret=interpret, max_label=n_labels
+        )
+    if checkpointer is not None:
+        checkpointer.wait()
+    return labels, starved

@@ -72,6 +72,13 @@ def _parse_coarse_hwin() -> int | None:
 
 _COARSE_HWIN = _parse_coarse_hwin()
 
+# Multi-iteration fused coarse rounds (r12): RWT_COARSE_MULTI=0 restores the
+# legacy two-pass rounds; RWT_COARSE_K = in-band sub-iterations per band
+# visit (>= 1).  Parsed once at import (same trace-time-capture contract as
+# RWT_COARSE_HWIN above).
+_COARSE_MULTI = _os.environ.get("RWT_COARSE_MULTI", "1") not in ("0", "off")
+_COARSE_K = max(1, int(_os.environ.get("RWT_COARSE_K", "3")))
+
 
 def _seg_min_scan(v, b, axis, size, reverse, idx, limit=None):
     """Inclusive segmented min scan by operator doubling.
@@ -691,6 +698,7 @@ def _coarsen_kernel(
     real_h,
     col_lo,
     col_hi,
+    out_off=0,
 ):
     """Build the packed coarse plane from the relax engine's padded labels.
 
@@ -789,9 +797,36 @@ def _coarsen_kernel(
         | (hf.astype(jnp.int32) << _CB_HF)
         | (hb.astype(jnp.int32) << _CB_HB)
     )
+    # Apron rows for the multi-round engine (out_off=8): zero blocks above
+    # and below the coarse data.  Zero = empty cell; adjacent real rows'
+    # reset bits were computed from the fine plane's zero aprons, so the
+    # flag-less zero rows are inert barriers (see _cmulti_kernel).
+    if out_off:
+        @pl.when(i == 0)
+        def _():
+            cst[...] = jnp.zeros_like(cst)
+            za = pltpu.make_async_copy(
+                cst.at[pl.ds(0, out_off), :],
+                c_out.at[pl.ds(0, out_off), :],
+                sems.at[slot, 1],
+            )
+            za.start()
+            za.wait()
+
+        @pl.when(i == gy - 1)
+        def _():
+            cst[...] = jnp.zeros_like(cst)
+            zb = pltpu.make_async_copy(
+                cst.at[pl.ds(0, out_off), :],
+                c_out.at[pl.ds(out_off + gy * t, out_off), :],
+                sems.at[slot, 1],
+            )
+            zb.start()
+            zb.wait()
+
     cst[...] = c
     co = pltpu.make_async_copy(
-        cst, c_out.at[pl.ds(i * t, t), :], sems.at[slot, 1]
+        cst, c_out.at[pl.ds(out_off + i * t, t), :], sems.at[slot, 1]
     )
     co.start()
     co.wait()
@@ -949,6 +984,162 @@ def _cbwd_vh_kernel(
         co.wait()
 
 
+def _multi_tile(hc: int) -> int:
+    """Largest multiple-of-8 divisor of ``hc`` <= 256 — the multi-round
+    kernel's band height (taller bands than _tail_tile: the in-band
+    sub-iterations amortise the log2(band) doubling steps over k scans,
+    and fewer bands mean fewer serialized halo hand-offs)."""
+    for t in range(min(256, hc) // 8 * 8, 7, -8):
+        if hc % t == 0:
+            return t
+    return 8
+
+
+def _cmulti_kernel(
+    c_hbm,
+    c_out,
+    chg_ref,
+    win,
+    cst,
+    sems,
+    *,
+    tile,
+    k,
+    up,
+    h_window,
+):
+    """Fused multi-iteration coarse round (r12) — the sub-linear-work
+    replacement for the (_cbwd_vh + cond _cfwd_v) two-pass round.
+
+    One banded pass per ROUND: each band is DMA'd with an 8-row halo on
+    both sides (the plane carries an 8-row zero apron top and bottom) and
+    relaxed IN VMEM for ``k`` sub-iterations of {fwd-v, bwd-v, h-fwd,
+    h-bwd} segmented scans before one write-back.  Band order alternates
+    per round (``up=True``: bottom-up): the halo on the already-processed
+    side holds THIS round's output — a Gauss-Seidel chain that carries
+    mins across the whole plane in one round per direction — while the
+    other side's halo is one round stale.  Staleness is sound by the
+    monotone-asynchronous-iteration argument (values only min-propagate
+    within components; using older values can only delay, never corrupt),
+    and the violation stencil below certifies the fixed point exactly, so
+    the final plane is bit-identical to every other schedule.  Numpy
+    round-count sim at 10% NaN dots (r12): k=3 collapses 34 rounds to ~5
+    at 1024² and the count is ~flat in image size — the Gauss-Seidel
+    chain replaces the O(diameter/run) round growth of the Jacobi-style
+    two-pass rounds.
+
+    NO cross-band DMA prefetch: the next band's halo rows overlap THIS
+    band's written rows, and that overlap being fresh IS the chaining
+    mechanism — the input DMA must trail the previous band's write (the
+    grid is sequential, so program order guarantees it).
+
+    Cross-band violation coverage: each band checks the boundary on its
+    already-processed side (both endpoints final for this round); the
+    other boundary is checked by the neighbour when IT runs.  A round
+    with no violation anywhere therefore certifies edge-consistency of
+    the end-of-round plane — the unique fixed point."""
+    j = pl.program_id(0)
+    gy = pl.num_programs(0)
+    i = gy - 1 - j if up else j
+    slot = jax.lax.rem(j, 2)
+    wp = win.shape[-1]
+    tw = tile + 16
+    inf = jnp.int32(_INF)
+
+    @pl.when(j == 0)
+    def _():
+        chg_ref[0, 0] = 0
+
+    di = pltpu.make_async_copy(
+        c_hbm.at[pl.ds(i * tile, tw), :], win, sems.at[slot, 0]
+    )
+    di.start()
+    di.wait()
+
+    c = win[...]
+    x = c & jnp.int32(_CVAL)
+    empty = x == 0
+    vf = jax.lax.shift_right_logical(c, _CB_VF) & 1
+    vb = jax.lax.shift_right_logical(c, _CB_VB) & 1
+    hf = jax.lax.shift_right_logical(c, _CB_HF) & 1
+    hb = jax.lax.shift_right_logical(c, _CB_HB) & 1
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tw, wp), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tw, wp), 1)
+
+    v = jnp.where(empty, inf, x)
+    for step in range(k):
+        v, _ = _seg_min_scan(v, vf, 0, tw, False, rr)
+        v, _ = _seg_min_scan(v, vb, 0, tw, True, rr)
+        # First sub-iteration runs the full-width h (long runs converge in
+        # one go); later ones use the measured window (r11 schedule).
+        lim = None if step == 0 else h_window
+        a, _ = _seg_min_scan(v, hf, 1, wp, False, cc, limit=lim)
+        b2, _ = _seg_min_scan(v, hb, 1, wp, True, cc, limit=lim)
+        v = jnp.minimum(a, b2)
+    out = jnp.where(empty, jnp.int32(0), v)
+
+    # Violation stencil (edge-present == reset bit 0).  Row mask: interior
+    # v-edges plus the boundary on the already-processed side only (see
+    # docstring); h-edges on band rows (every real row is some band's row).
+    rolled_v = pltpu.roll(out, 1, 0)
+    if up:
+        vmask = (rr >= 9) & (rr <= 8 + tile)
+    else:
+        vmask = (rr >= 8) & (rr <= 7 + tile)
+    mm_v = (out != rolled_v) & (vf == 0) & vmask
+    rolled_h = pltpu.roll(out, 1, 1)
+    band_rows = (rr >= 8) & (rr < 8 + tile)
+    mm_h = (out != rolled_h) & (hf == 0) & (cc >= 1) & band_rows
+    viol = jnp.any(mm_v) | jnp.any(mm_h)
+    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], viol.astype(jnp.int32))
+
+    band_chg = jnp.any(out[8 : 8 + tile] != x[8 : 8 + tile])
+
+    @pl.when(band_chg)
+    def _():
+        cst[...] = (c[8 : 8 + tile] & jnp.int32(~_CVAL)) | out[8 : 8 + tile]
+        co = pltpu.make_async_copy(
+            cst, c_out.at[pl.ds(8 + i * tile, tile), :], sems.at[slot, 1]
+        )
+        co.start()
+        co.wait()
+
+
+def _call_multi_kernel(src, *, tile, k, up, h_window, interpret):
+    """One multi-iteration round over the apron-padded coarse plane;
+    returns (plane, violated).  In-place aliased like the legacy rounds."""
+    hp, wp = src.shape
+    gy = (hp - 16) // tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(gy,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile + 16, wp), jnp.int32),
+            pltpu.VMEM((tile, wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out, chg = pl.pallas_call(
+        partial(_cmulti_kernel, tile=tile, k=k, up=up, h_window=h_window),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(src)
+    return out, chg[0, 0] > 0
+
+
 def _broadcast_kernel(
     c_hbm,
     lab_hbm,
@@ -963,6 +1154,7 @@ def _broadcast_kernel(
     real_h,
     col_lo,
     col_hi,
+    row_off=0,
 ):
     """Expand the converged coarse plane back to fine: every claimed fine
     cell takes its coarse cell's value (exact — the 2x1 block is internally
@@ -979,7 +1171,9 @@ def _broadcast_kernel(
     def dma_in(s, band):
         return (
             pltpu.make_async_copy(
-                c_hbm.at[pl.ds(band * t, t), :], win_c.at[s], sems.at[s, 0]
+                c_hbm.at[pl.ds(row_off + band * t, t), :],
+                win_c.at[s],
+                sems.at[s, 0],
             ),
             pltpu.make_async_copy(
                 lab_hbm.at[pl.ds(p + band * 2 * t, 2 * t), :],
@@ -1052,6 +1246,9 @@ def component_min_coarse_from_padded(
     col_lo, col_hi = col_off, col_off + w - 1
     hc = h2 // 2
     tile = _tail_tile(hc)
+    # Multi-round engine (r12, default): the coarse plane carries an 8-row
+    # zero apron top and bottom so every band's halo DMA stays in bounds.
+    out_off = 8 if _COARSE_MULTI else 0
 
     # coarsen: fine padded labels -> packed coarse plane.
     gy = hc // tile
@@ -1074,11 +1271,11 @@ def component_min_coarse_from_padded(
     c0, _ = pl.pallas_call(
         partial(
             _coarsen_kernel, tile=tile, p=p, real_h=h,
-            col_lo=col_lo, col_hi=col_hi,
+            col_lo=col_lo, col_hi=col_hi, out_off=out_off,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((hc, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hc + 2 * out_off, wp), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1086,6 +1283,37 @@ def component_min_coarse_from_padded(
         ),
         interpret=interpret,
     )(lab_pad)
+
+    if _COARSE_MULTI:
+        # Multi-iteration fused rounds with alternating band order (see
+        # _cmulti_kernel) — the r12 engine: ~flat round counts in image
+        # size (Gauss-Seidel chaining) at one plane pass per round.
+        tile_m = _multi_tile(hc)
+
+        def mbody(state):
+            c, _, r = state
+            c2, viol = jax.lax.cond(
+                jax.lax.rem(r, 2) == 0,
+                lambda q: _call_multi_kernel(
+                    q, tile=tile_m, k=_COARSE_K, up=True,
+                    h_window=_COARSE_HWIN, interpret=interpret,
+                ),
+                lambda q: _call_multi_kernel(
+                    q, tile=tile_m, k=_COARSE_K, up=False,
+                    h_window=_COARSE_HWIN, interpret=interpret,
+                ),
+                c,
+            )
+            return c2, viol, r + 1
+
+        cfin, _, _ = jax.lax.while_loop(
+            lambda s: s[1], mbody, (c0, jnp.bool_(True), jnp.int32(0))
+        )
+        return _coarse_broadcast(
+            cfin, lab_pad, hc=hc, wp=wp, tile=tile, p=p, h=h, w=w,
+            col_lo=col_lo, col_hi=col_hi, col_off=col_off, h2=h2,
+            row_off=out_off, interpret=interpret,
+        )
 
     y0, _ = _call_round_kernel(
         _cfwd_v_kernel, c0, tile=tile, interpret=interpret
@@ -1152,7 +1380,21 @@ def component_min_coarse_from_padded(
             lambda s: s[1], body, (y0, jnp.bool_(True), jnp.int32(0))
         )
 
-    # broadcast back to fine geometry.
+    return _coarse_broadcast(
+        cfin, lab_pad, hc=hc, wp=wp, tile=tile, p=p, h=h, w=w,
+        col_lo=col_lo, col_hi=col_hi, col_off=col_off, h2=h2,
+        row_off=0, interpret=interpret,
+    )
+
+
+def _coarse_broadcast(
+    cfin, lab_pad, *, hc, wp, tile, p, h, w, col_lo, col_hi, col_off, h2,
+    row_off, interpret,
+):
+    """Expand the converged coarse plane back to fine geometry and crop
+    (shared by the legacy and multi-round drivers; ``row_off`` skips the
+    multi engine's 8-row apron)."""
+    gy = hc // tile
     grid_spec_b = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(gy,),
@@ -1171,7 +1413,7 @@ def component_min_coarse_from_padded(
     fine = pl.pallas_call(
         partial(
             _broadcast_kernel, tile=tile, p=p, real_h=h,
-            col_lo=col_lo, col_hi=col_hi,
+            col_lo=col_lo, col_hi=col_hi, row_off=row_off,
         ),
         grid_spec=grid_spec_b,
         out_shape=[jax.ShapeDtypeStruct((h2, wp), jnp.int32)],

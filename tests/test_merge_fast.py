@@ -774,3 +774,42 @@ def test_vmem_recovery_register_dedupes():
         assert calls == {"a": 1, "b": 1}  # both hooks stepped, once each
     finally:
         _compat._vmem_recovery_hooks[:] = saved
+
+
+def test_coarse_multi_engine_knob_parity(rng, monkeypatch):
+    """The r12 multi-iteration engine must be bit-identical to the legacy
+    two-pass rounds (RWT_COARSE_MULTI=0) and invariant to the sub-iteration
+    count k — the violation stencil makes the fixed point schedule-
+    independent.  Geometry includes a single-band plane (hc <= tile)."""
+    import rustronomy_watershed_tpu.ops.scan_merge as _sm
+    from rustronomy_watershed_tpu.ops.pallas_relax import relax_packed_planes
+    from rustronomy_watershed_tpu.ops.scan_merge import (
+        component_min_coarse_from_padded,
+    )
+    from rustronomy_watershed_tpu.ops.seeds import (
+        local_extrema_mask,
+        seed_labels_from_mask,
+    )
+
+    for shape, frac in (((48, 160), 0.15), ((160, 136), 0.10)):
+        img = rng.integers(0, 254, size=shape).astype(np.uint8)
+        img[rng.random(shape) < frac] = 255
+        lab0 = seed_labels_from_mask(
+            local_extrema_mask(jnp.asarray(img, jnp.int32))
+        )
+        out = relax_packed_planes(
+            jnp.asarray(img, jnp.int32), lab0, fwd_scan="stats",
+            interpret=True, steps=16,
+        )
+        lab_pad, p, col_off = out[1], out[2], out[3]
+        if (lab_pad.shape[0] - 2 * p) % 16:
+            continue
+        kw = dict(p=p, h=shape[0], w=shape[1], interpret=True,
+                  col_off=col_off)
+        monkeypatch.setattr(_sm, "_COARSE_MULTI", False)
+        legacy = np.asarray(component_min_coarse_from_padded(lab_pad, **kw))
+        monkeypatch.setattr(_sm, "_COARSE_MULTI", True)
+        for k in (1, 3, 6):
+            monkeypatch.setattr(_sm, "_COARSE_K", k)
+            got = np.asarray(component_min_coarse_from_padded(lab_pad, **kw))
+            np.testing.assert_array_equal(got, legacy, err_msg=f"k={k}")
