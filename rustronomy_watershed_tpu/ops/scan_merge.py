@@ -74,10 +74,11 @@ _COARSE_HWIN = _parse_coarse_hwin()
 
 # Multi-iteration fused coarse rounds (r12): RWT_COARSE_MULTI=0 restores the
 # legacy two-pass rounds; RWT_COARSE_K = in-band sub-iterations per band
-# visit (>= 1).  Parsed once at import (same trace-time-capture contract as
+# visit (>= 1; k=2 measured best — k=3 over-paid VPU on blob fields).
+# Parsed once at import (same trace-time-capture contract as
 # RWT_COARSE_HWIN above).
 _COARSE_MULTI = _os.environ.get("RWT_COARSE_MULTI", "1") not in ("0", "off")
-_COARSE_K = max(1, int(_os.environ.get("RWT_COARSE_K", "3")))
+_COARSE_K = max(1, int(_os.environ.get("RWT_COARSE_K", "2")))
 
 
 def _seg_min_scan(v, b, axis, size, reverse, idx, limit=None):
@@ -985,11 +986,13 @@ def _cbwd_vh_kernel(
 
 
 def _multi_tile(hc: int) -> int:
-    """Largest multiple-of-8 divisor of ``hc`` <= 256 — the multi-round
-    kernel's band height (taller bands than _tail_tile: the in-band
-    sub-iterations amortise the log2(band) doubling steps over k scans,
-    and fewer bands mean fewer serialized halo hand-offs)."""
-    for t in range(min(256, hc) // 8 * 8, 7, -8):
+    """Largest multiple-of-8 divisor of ``hc`` <= 64 — the multi-round
+    kernel's band height.  SHORT bands maximise the Gauss-Seidel chaining
+    (more sequential band hand-offs per round): the numpy round sim at
+    10% dots measured rounds 14 at T=256/k=2 vs **5 at T=64/k=2** (flat
+    in image size: 5/5/7 at 512/1024/2048), and short bands also pay
+    fewer v-scan doubling steps (_round_tile's reasoning)."""
+    for t in range(min(64, hc) // 8 * 8, 7, -8):
         if hc % t == 0:
             return t
     return 8
@@ -1007,6 +1010,7 @@ def _cmulti_kernel(
     k,
     up,
     h_window,
+    full_h=False,
 ):
     """Fused multi-iteration coarse round (r12) — the sub-linear-work
     replacement for the (_cbwd_vh + cond _cfwd_v) two-pass round.
@@ -1028,10 +1032,13 @@ def _cmulti_kernel(
     chain replaces the O(diameter/run) round growth of the Jacobi-style
     two-pass rounds.
 
-    NO cross-band DMA prefetch: the next band's halo rows overlap THIS
-    band's written rows, and that overlap being fresh IS the chaining
-    mechanism — the input DMA must trail the previous band's write (the
-    grid is sequential, so program order guarantees it).
+    Split DMA prefetch: only the 8 halo rows on the side facing the
+    previously-processed band overlap that band's written rows (the
+    freshness that IS the chaining mechanism), so the window fetch splits
+    into a HEAD (tile + 8 rows, prefetched one band ahead, overlapping
+    this band's compute) and a deferred 8-row TAIL started right after the
+    previous band's write completes — pipelining 15/16 of the input bytes
+    without ever reading a stale fresh-side halo.
 
     Cross-band violation coverage: each band checks the boundary on its
     already-processed side (both endpoints final for this round); the
@@ -1041,22 +1048,47 @@ def _cmulti_kernel(
     j = pl.program_id(0)
     gy = pl.num_programs(0)
     i = gy - 1 - j if up else j
+    ni = i - 1 if up else i + 1  # band the NEXT program will process
     slot = jax.lax.rem(j, 2)
+    nslot = 1 - slot
     wp = win.shape[-1]
     tw = tile + 16
     inf = jnp.int32(_INF)
 
+    # Deferred 8-row tail = the halo facing the previously-processed band:
+    # bottom-up processes high bands first, so the fresh side is BELOW the
+    # band (the window's last 8 rows); top-down mirrors.
+    t_off = tile + 8 if up else 0
+
+    def dma_head(s, band):
+        off = 0 if up else 8
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(band * tile + off, tile + 8), :],
+            win.at[s, pl.ds(off, tile + 8), :],
+            sems.at[s, 0],
+        )
+
+    def dma_tail(s, band):
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(band * tile + t_off, 8), :],
+            win.at[s, pl.ds(t_off, 8), :],
+            sems.at[s, 1],
+        )
+
     @pl.when(j == 0)
     def _():
         chg_ref[0, 0] = 0
+        dma_head(slot, i).start()
+        dma_tail(slot, i).start()
 
-    di = pltpu.make_async_copy(
-        c_hbm.at[pl.ds(i * tile, tw), :], win, sems.at[slot, 0]
-    )
-    di.start()
-    di.wait()
+    @pl.when(j + 1 < gy)
+    def _():
+        dma_head(nslot, ni).start()
 
-    c = win[...]
+    dma_head(slot, i).wait()
+    dma_tail(slot, i).wait()
+
+    c = win[slot]
     x = c & jnp.int32(_CVAL)
     empty = x == 0
     vf = jax.lax.shift_right_logical(c, _CB_VF) & 1
@@ -1070,9 +1102,10 @@ def _cmulti_kernel(
     for step in range(k):
         v, _ = _seg_min_scan(v, vf, 0, tw, False, rr)
         v, _ = _seg_min_scan(v, vb, 0, tw, True, rr)
-        # First sub-iteration runs the full-width h (long runs converge in
-        # one go); later ones use the measured window (r11 schedule).
-        lim = None if step == 0 else h_window
+        # full_h (round 0, sub-iteration 0 only): one full-width h pass so
+        # long blob-field runs converge immediately; every other h is
+        # windowed (r11 schedule, measured best on every workload).
+        lim = None if (full_h and step == 0) else h_window
         a, _ = _seg_min_scan(v, hf, 1, wp, False, cc, limit=lim)
         b2, _ = _seg_min_scan(v, hb, 1, wp, True, cc, limit=lim)
         v = jnp.minimum(a, b2)
@@ -1099,13 +1132,20 @@ def _cmulti_kernel(
     def _():
         cst[...] = (c[8 : 8 + tile] & jnp.int32(~_CVAL)) | out[8 : 8 + tile]
         co = pltpu.make_async_copy(
-            cst, c_out.at[pl.ds(8 + i * tile, tile), :], sems.at[slot, 1]
+            cst, c_out.at[pl.ds(8 + i * tile, tile), :], sems.at[slot, 2]
         )
         co.start()
         co.wait()
 
+    # Deferred fresh-side tail for the NEXT band — started only after this
+    # band's write landed (or was skipped: the rows are then already
+    # current in the aliased plane).
+    @pl.when(j + 1 < gy)
+    def _():
+        dma_tail(nslot, ni).start()
 
-def _call_multi_kernel(src, *, tile, k, up, h_window, interpret):
+
+def _call_multi_kernel(src, *, tile, k, up, h_window, interpret, full_h=False):
     """One multi-iteration round over the apron-padded coarse plane;
     returns (plane, violated).  In-place aliased like the legacy rounds."""
     hp, wp = src.shape
@@ -1119,13 +1159,16 @@ def _call_multi_kernel(src, *, tile, k, up, h_window, interpret):
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile + 16, wp), jnp.int32),
+            pltpu.VMEM((2, tile + 16, wp), jnp.int32),
             pltpu.VMEM((tile, wp), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     out, chg = pl.pallas_call(
-        partial(_cmulti_kernel, tile=tile, k=k, up=up, h_window=h_window),
+        partial(
+            _cmulti_kernel, tile=tile, k=k, up=up, h_window=h_window,
+            full_h=full_h,
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
@@ -1292,16 +1335,28 @@ def component_min_coarse_from_padded(
 
         def mbody(state):
             c, _, r = state
-            c2, viol = jax.lax.cond(
-                jax.lax.rem(r, 2) == 0,
-                lambda q: _call_multi_kernel(
-                    q, tile=tile_m, k=_COARSE_K, up=True,
-                    h_window=_COARSE_HWIN, interpret=interpret,
-                ),
-                lambda q: _call_multi_kernel(
-                    q, tile=tile_m, k=_COARSE_K, up=False,
-                    h_window=_COARSE_HWIN, interpret=interpret,
-                ),
+            # Round 0 runs bottom-up with ONE full-width h sub-pass (long
+            # blob-field runs converge immediately); every later round
+            # alternates direction with windowed h only.
+            idx = jnp.where(
+                r == 0, 0, jnp.where(jax.lax.rem(r, 2) == 1, 1, 2)
+            )
+            c2, viol = jax.lax.switch(
+                idx,
+                [
+                    lambda q: _call_multi_kernel(
+                        q, tile=tile_m, k=_COARSE_K, up=True, full_h=True,
+                        h_window=_COARSE_HWIN, interpret=interpret,
+                    ),
+                    lambda q: _call_multi_kernel(
+                        q, tile=tile_m, k=_COARSE_K, up=False,
+                        h_window=_COARSE_HWIN, interpret=interpret,
+                    ),
+                    lambda q: _call_multi_kernel(
+                        q, tile=tile_m, k=_COARSE_K, up=True,
+                        h_window=_COARSE_HWIN, interpret=interpret,
+                    ),
+                ],
                 c,
             )
             return c2, viol, r + 1

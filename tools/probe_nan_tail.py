@@ -167,6 +167,44 @@ def main():
                 break
         print(f"COARSE tail rounds to fixed point: {crounds}", flush=True)
 
+        # Multi-iteration engine round count (r12): coarsen with the 8-row
+        # apron, then drive _call_multi_kernel rounds eagerly with the
+        # production schedule (round 0 up+full_h, then alternating).
+        cm, _ = _pl.pallas_call(
+            _partial(
+                sm._coarsen_kernel, tile=tc, p=p, real_h=h,
+                col_lo=col_lo, col_hi=col_hi, out_off=8,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                _jax.ShapeDtypeStruct((hc + 16, wp), jnp.int32),
+                _jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            compiler_params=_pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024
+            ),
+        )(lab_pad)
+        tm = sm._multi_tile(hc)
+        mrounds = 0
+        while True:
+            cm, viol = sm._call_multi_kernel(
+                cm, tile=tm, k=sm._COARSE_K,
+                up=(mrounds == 0 or mrounds % 2 == 0),
+                full_h=(mrounds == 0), h_window=sm._COARSE_HWIN,
+                interpret=False,
+            )
+            mrounds += 1
+            if not bool(viol):
+                break
+            if mrounds > 2000:
+                print("multi rounds > 2000, aborting count", flush=True)
+                break
+        print(
+            f"MULTI tail rounds to fixed point: {mrounds} "
+            f"(k={sm._COARSE_K}, tile={tm})",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     sys.exit(main())
