@@ -1111,15 +1111,28 @@ def _cmulti_kernel(
         v = jnp.minimum(a, b2)
     out = jnp.where(empty, jnp.int32(0), v)
 
-    # Violation stencil (edge-present == reset bit 0).  Row mask: interior
-    # v-edges plus the boundary on the already-processed side only (see
-    # docstring); h-edges on band rows (every real row is some band's row).
+    # Violation stencil (edge-present == reset bit 0).  Interior v-edges
+    # (both endpoints band rows) compare out vs out.  The BOUNDARY edge on
+    # the already-processed side must compare the band's output against
+    # the neighbour's PLANE value (``x`` as DMA'd — its final for this
+    # round), NOT the in-window relaxed halo copy: in-window propagation
+    # can lower the halo copy to match the band, masking a real
+    # plane-level violation and letting the loop exit before the fixed
+    # point (caught by the chip battery's content fuzz — 5/12 trials at
+    # 384² — while every interpret-mode CPU suite stayed green).
     rolled_v = pltpu.roll(out, 1, 0)
+    mm_vi = (
+        (out != rolled_v) & (vf == 0) & (rr >= 9) & (rr <= 7 + tile)
+    )
     if up:
-        vmask = (rr >= 9) & (rr <= 8 + tile)
+        # bottom edge, indexed at the halo row 8+tile:
+        # out[8+tile-1] (rolled_v) vs plane x[8+tile]
+        mm_vb = (rolled_v != x) & (vf == 0) & (rr == 8 + tile)
     else:
-        vmask = (rr >= 8) & (rr <= 7 + tile)
-    mm_v = (out != rolled_v) & (vf == 0) & vmask
+        # top edge, indexed at band row 8: out[8] vs plane x[7] (rolled x)
+        rolled_x = pltpu.roll(x, 1, 0)
+        mm_vb = (out != rolled_x) & (vf == 0) & (rr == 8)
+    mm_v = mm_vi | mm_vb
     rolled_h = pltpu.roll(out, 1, 1)
     band_rows = (rr >= 8) & (rr < 8 + tile)
     mm_h = (out != rolled_h) & (hf == 0) & (cc >= 1) & band_rows

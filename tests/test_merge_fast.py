@@ -813,3 +813,46 @@ def test_coarse_multi_engine_knob_parity(rng, monkeypatch):
             monkeypatch.setattr(_sm, "_COARSE_K", k)
             got = np.asarray(component_min_coarse_from_padded(lab_pad, **kw))
             np.testing.assert_array_equal(got, legacy, err_msg=f"k={k}")
+
+
+def test_coarse_multi_many_band_serpentine(rng, monkeypatch):
+    """Hard-geometry coverage for the r12 boundary stencil (the bug class
+    the chip-battery fuzz caught at 384², 5/12 trials: the cross-band
+    violation check must compare the band's output against the
+    NEIGHBOUR'S PLANE values, not the in-window relaxed halo copy).  NB
+    the CPU interpret path did NOT reproduce the miscount even on this
+    serpentine (the trigger is content/timing specific) — the
+    authoritative regression gate is the on-chip battery's content fuzz;
+    this test pins the many-band geometry (_multi_tile=8) in CI."""
+    import rustronomy_watershed_tpu.ops.scan_merge as _sm
+
+    monkeypatch.setattr(_sm, "_multi_tile", lambda hc: 8)
+    h, w = 96, 160
+    lab = np.zeros((h, w), np.int32)
+    # serpentine corridor: full even rows, alternating end columns connect
+    for r in range(1, h - 1, 2):
+        lab[r, 1:-1] = 1
+    for r in range(2, h - 1, 2):
+        c = w - 2 if (r // 2) % 2 == 0 else 1
+        lab[r, c] = 1
+    idx = np.arange(h * w, dtype=np.int32).reshape(h, w) + 2
+    lab = np.where(lab > 0, idx, 0)
+    want = np.asarray(component_min_labels(jnp.asarray(lab), use_pallas=False))
+    got = np.asarray(
+        component_min_labels(
+            jnp.asarray(lab), use_pallas=True, interpret=True,
+            max_label=int(idx.max()) + 1,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # plus random many-band content (the fuzz shape, CPU-sized)
+    lab2 = rng.integers(0, 400, size=(96, 136)).astype(np.int32)
+    lab2[rng.random(lab2.shape) < 0.35] = 0
+    a = np.asarray(component_min_labels(jnp.asarray(lab2), use_pallas=False))
+    b = np.asarray(
+        component_min_labels(
+            jnp.asarray(lab2), use_pallas=True, interpret=True, max_label=512
+        )
+    )
+    np.testing.assert_array_equal(a, b)
