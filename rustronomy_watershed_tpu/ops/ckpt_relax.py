@@ -23,12 +23,55 @@ the downlink with ongoing compute.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+@lru_cache(maxsize=64)
+def _jitted_step(tile, steps, interpret):
+    """Cached jit of one relax step — a fresh jax.jit(partial(...)) per
+    public call would RECOMPILE on every checkpointed transform (measured:
+    87 s/call at 4096² vs 2.2 s once cached)."""
+    from .._compat import cache_resilient
+
+    return cache_resilient(
+        jax.jit(partial(_step_impl, tile=tile, steps=steps, interpret=interpret))
+    )
+
+
+@lru_cache(maxsize=64)
+def _jitted_finish(h, w, steps, max_water_level, merging, n_labels, interpret):
+    from .._compat import cache_resilient
+    from .pallas_relax import _D_BITS, _UNCLAIMED
+    from ..constants import NEVER_FILL, UNCOLOURED
+
+    def _finish_impl(key, lab, sat_bands):
+        starved = jnp.any(sat_bands > 0)
+        key_c = jax.lax.dynamic_slice(key, (steps, steps), (h, w))
+        lab_c = jax.lax.dynamic_slice(lab, (steps, steps), (h, w))
+        claim = jnp.where(
+            key_c == _UNCLAIMED,
+            jnp.int32(NEVER_FILL + 1),
+            jax.lax.shift_right_logical(key_c, _D_BITS),
+        )
+        if max_water_level >= 254:
+            labels = lab_c  # claimed-ness gate: lab plane IS the final image
+        else:
+            labels = jnp.where(claim <= max_water_level, lab_c, UNCOLOURED)
+        if merging:
+            from .scan_merge import component_min_labels
+
+            labels = component_min_labels(
+                labels, use_pallas=True, interpret=interpret,
+                max_label=n_labels,
+            )
+        return labels, starved
+
+    return cache_resilient(jax.jit(_finish_impl))
 
 
 def _step_impl(v_pad, key, lab, active, sat_bands, *, tile, steps, interpret):
@@ -75,13 +118,7 @@ def ckpt_transform(
 
     Returns (labels, starved).
     """
-    from ..constants import NEVER_FILL, UNCOLOURED
-    from .pallas_relax import (
-        _D_BITS,
-        _UNCLAIMED,
-        pack_domain,
-        resolve_relax_config,
-    )
+    from .pallas_relax import pack_domain, resolve_relax_config
 
     img = jnp.asarray(img)
     h, w = img.shape
@@ -102,35 +139,10 @@ def ckpt_transform(
         active = jnp.ones((gy,), jnp.int32)
         sat_bands = jnp.zeros((gy,), jnp.int32)
 
-    from .._compat import cache_resilient
-
-    step = cache_resilient(
-        jax.jit(partial(_step_impl, tile=tile, steps=steps, interpret=interpret))
+    step = _jitted_step(tile, steps, interpret)
+    finish = _jitted_finish(
+        h, w, steps, max_water_level, merging, n_labels, interpret
     )
-
-    def _finish_impl(key, lab, sat_bands):
-        starved = jnp.any(sat_bands > 0)
-        key_c = jax.lax.dynamic_slice(key, (steps, steps), (h, w))
-        lab_c = jax.lax.dynamic_slice(lab, (steps, steps), (h, w))
-        claim = jnp.where(
-            key_c == _UNCLAIMED,
-            jnp.int32(NEVER_FILL + 1),
-            jax.lax.shift_right_logical(key_c, _D_BITS),
-        )
-        if max_water_level >= 254:
-            labels = lab_c  # claimed-ness gate: lab plane IS the final image
-        else:
-            labels = jnp.where(claim <= max_water_level, lab_c, UNCOLOURED)
-        if merging:
-            from .scan_merge import component_min_labels
-
-            labels = component_min_labels(
-                labels, use_pallas=True, interpret=interpret,
-                max_label=n_labels,
-            )
-        return labels, starved
-
-    finish = cache_resilient(jax.jit(_finish_impl))
 
     # Optimistic host loop: call i+1 is dispatched before call i's flag is
     # fetched, and at the typical convergence point (the tuned schedule
