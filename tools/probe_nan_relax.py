@@ -64,7 +64,8 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
         f = jax.jit(partial(relax_only, n=8))
-        jax.block_until_ready(f(img_d))
+        int(f(img_d))  # warm via scalar fetch (block_until_ready returns
+        # early on this platform — CLAUDE.md environment facts)
         t0 = time.perf_counter()
         int(f(img_d))
         dt = (time.perf_counter() - t0) / 8
