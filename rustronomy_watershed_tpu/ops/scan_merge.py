@@ -1040,11 +1040,11 @@ def _cmulti_kernel(
     previous band's write completes — pipelining 15/16 of the input bytes
     without ever reading a stale fresh-side halo.
 
-    Cross-band violation coverage: each band checks the boundary on its
-    already-processed side (both endpoints final for this round); the
-    other boundary is checked by the neighbour when IT runs.  A round
-    with no violation anywhere therefore certifies edge-consistency of
-    the end-of-round plane — the unique fixed point."""
+    Convergence: CHANGE-based (a round in which no band changed anything
+    certifies the fixed point under arbitrary halo staleness — see the
+    in-kernel comment; the r12 fuzz episode showed edge-stencil witnesses
+    silently trust halo freshness that neither interpret mode nor DMA
+    ordering guarantees)."""
     j = pl.program_id(0)
     gy = pl.num_programs(0)
     i = gy - 1 - j if up else j
@@ -1111,35 +1111,21 @@ def _cmulti_kernel(
         v = jnp.minimum(a, b2)
     out = jnp.where(empty, jnp.int32(0), v)
 
-    # Violation stencil (edge-present == reset bit 0).  Interior v-edges
-    # (both endpoints band rows) compare out vs out.  The BOUNDARY edge on
-    # the already-processed side must compare the band's output against
-    # the neighbour's PLANE value (``x`` as DMA'd — its final for this
-    # round), NOT the in-window relaxed halo copy: in-window propagation
-    # can lower the halo copy to match the band, masking a real
-    # plane-level violation and letting the loop exit before the fixed
-    # point (caught by the chip battery's content fuzz — 5/12 trials at
-    # 384² — while every interpret-mode CPU suite stayed green).
-    rolled_v = pltpu.roll(out, 1, 0)
-    mm_vi = (
-        (out != rolled_v) & (vf == 0) & (rr >= 9) & (rr <= 7 + tile)
-    )
-    if up:
-        # bottom edge, indexed at the halo row 8+tile:
-        # out[8+tile-1] (rolled_v) vs plane x[8+tile]
-        mm_vb = (rolled_v != x) & (vf == 0) & (rr == 8 + tile)
-    else:
-        # top edge, indexed at band row 8: out[8] vs plane x[7] (rolled x)
-        rolled_x = pltpu.roll(x, 1, 0)
-        mm_vb = (out != rolled_x) & (vf == 0) & (rr == 8)
-    mm_v = mm_vi | mm_vb
-    rolled_h = pltpu.roll(out, 1, 1)
-    band_rows = (rr >= 8) & (rr < 8 + tile)
-    mm_h = (out != rolled_h) & (hf == 0) & (cc >= 1) & band_rows
-    viol = jnp.any(mm_v) | jnp.any(mm_h)
-    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], viol.astype(jnp.int32))
-
+    # CHANGE-BASED convergence certificate — no violation stencil.  The
+    # r12 fuzz episode proved halo FRESHNESS is not a dependable witness
+    # input (hardware DMA ordering aside, interpret mode's aliased
+    # cross-program reads see the call-input plane), so the exit condition
+    # is "a full round during which NO band changed anything", which is
+    # sound under ARBITRARY staleness: suppose edge (u, v) with final
+    # values u < v survived a no-change round.  v's owner band read some
+    # view u' of u with u_final <= u' <= u_roundstart; had u' < v it
+    # would have lowered v (a change).  So u' >= v > u_final, i.e. u was
+    # lowered DURING the round — but then u's owner changed something and
+    # the round was not change-free.  Contradiction; a change-free round
+    # certifies the fixed point.  (Costs at most one extra quiescent
+    # round vs an edge stencil; the dropped stencil pays for part of it.)
     band_chg = jnp.any(out[8 : 8 + tile] != x[8 : 8 + tile])
+    chg_ref[0, 0] = jnp.maximum(chg_ref[0, 0], band_chg.astype(jnp.int32))
 
     @pl.when(band_chg)
     def _():
